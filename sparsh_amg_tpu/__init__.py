@@ -1,0 +1,25 @@
+"""sparsh_amg_tpu — a TPU-native algebraic multigrid solver library.
+
+A from-scratch rebuild of the capabilities of SParSH-AMG (cmgcds/SParSH-AMG,
+a hybrid CPU-GPU MPI+OpenMP+CUDA AMG library; see SURVEY.md): classical and
+aggregation AMG setup, weighted-Jacobi / l1-Jacobi / Chebyshev smoothing,
+V/W/F cycles, and AMG-preconditioned CG / BiCGStab — designed TPU-first:
+
+* setup runs on the host (native C++ graph kernels + scipy SpGEMM),
+* the solve phase is one jitted XLA computation over padded DIA/ELL layouts,
+* 1e-8 residuals on fp32 hardware via df64 iterative refinement,
+* distribution via `jax.sharding` row partitioning with ICI halo collectives
+  (see `sparsh_amg_tpu.parallel`).
+"""
+from .params import AMGParams, KrylovParams
+from .setup import amg_setup, Hierarchy
+from .solve import AMGSolver, solve, to_device
+from . import models, ops, setup, solve, utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AMGParams", "KrylovParams", "amg_setup", "Hierarchy",
+    "AMGSolver", "solve", "to_device",
+    "models", "ops", "setup", "utils",
+]

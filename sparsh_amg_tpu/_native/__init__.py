@@ -1,0 +1,111 @@
+"""Loader for the native (C++) setup-phase kernels.
+
+Compiles ``amg_core.cpp`` on first use with g++ (cached by source hash under
+``build/``) and exposes ctypes wrappers.  Every entry point has a pure
+numpy fallback in :mod:`sparsh_amg_tpu.setup`, so the package works even
+without a toolchain — the native path is ~100x faster at large n.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "amg_core.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_i64 = ctypes.c_int64
+_u64 = ctypes.c_uint64
+_f64 = ctypes.c_double
+_i32 = ctypes.c_int32
+
+
+def _ptr(dtype):
+    return np.ctypeslib.ndpointer(dtype=dtype, flags="C_CONTIGUOUS")
+
+
+def _compile() -> str | None:
+    os.makedirs(os.path.join(_HERE, "build"), exist_ok=True)
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_HERE, "build", f"amg_core-{h}.so")
+    if os.path.exists(so):
+        return so
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC",
+        "-march=native", _SRC, "-o", so + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(so + ".tmp", so)
+        return so
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError):
+        return None
+
+
+def get_lib():
+    """Return the ctypes-wrapped native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        so = _compile()
+        if so is None:
+            _TRIED = True
+            return None
+        lib = ctypes.CDLL(so)
+
+        lib.soc_classical.restype = None
+        lib.soc_classical.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64), _f64,
+            _ptr(np.uint8),
+        ]
+        lib.soc_symmetric.restype = None
+        lib.soc_symmetric.argtypes = lib.soc_classical.argtypes
+
+        lib.rs_cf.restype = _i64
+        lib.rs_cf.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.int8), ctypes.c_int,
+        ]
+        lib.pmis_cf.restype = _i64
+        lib.pmis_cf.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int64),
+            _ptr(np.int32), _u64, _ptr(np.int8),
+        ]
+        lib.aggregate_greedy.restype = _i64
+        lib.aggregate_greedy.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int32),
+        ]
+        lib.direct_interp.restype = _i64
+        lib.direct_interp.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.float64),
+        ]
+        lib.rcm_order.restype = _i64
+        lib.rcm_order.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int32),
+        ]
+        _LIB = lib
+        _TRIED = True
+        return _LIB
+
+
+def csr_arrays(A):
+    """Return (indptr_int64, indices_int32, data_float64) views/copies of a
+    scipy CSR matrix in the layout the native kernels expect."""
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    return indptr, indices, data

@@ -1,0 +1,447 @@
+// Native AMG setup-phase kernels.
+//
+// SParSH-AMG implements its entire setup phase (strength-of-connection,
+// Ruge-Stuben / aggregation coarsening, interpolation construction) in
+// C/C++ with OpenMP (SURVEY.md section 2, C9-C12).  These are irregular
+// graph algorithms that do not map onto the TPU; in this framework they run
+// on the host as native code, producing a static padded hierarchy that the
+// device solve phase consumes.
+//
+// All CSR inputs use int64 indptr and int32 indices (setup runs on
+// row-partitioned shards, so local n stays well under 2^31).
+//
+// Build: g++ -O3 -fopenmp -shared -fPIC amg_core.cpp -o amg_core.so
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Strength of connection
+// ---------------------------------------------------------------------------
+
+// Classical SoC: entry (i,j) is strong iff -a_ij >= theta * max_{k!=i}(-a_ik).
+// Diagonal entries are never strong.  strong[] is a per-nonzero mask.
+void soc_classical(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const double* data, double theta, uint8_t* strong) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double maxoff = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      if (indices[k] != i) maxoff = std::max(maxoff, -data[k]);
+    }
+    const double cut = theta * maxoff;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      strong[k] = (indices[k] != i && maxoff > 0.0 && -data[k] >= cut &&
+                   -data[k] > 0.0)
+                      ? 1
+                      : 0;
+    }
+  }
+}
+
+// Symmetric SoC (used for aggregation / smoothed aggregation, Vanek 1996):
+// (i,j) strong iff |a_ij| >= theta * sqrt(|a_ii| * |a_jj|).
+void soc_symmetric(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const double* data, double theta, uint8_t* strong) {
+  std::vector<double> diag(n, 0.0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      if (indices[k] == i) diag[i] = std::fabs(data[k]);
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j == i) {
+        strong[k] = 0;
+        continue;
+      }
+      const double cut = theta * std::sqrt(diag[i] * diag[j]);
+      strong[k] = (std::fabs(data[k]) >= cut && cut > 0.0) ? 1 : 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Classical Ruge-Stuben C/F splitting (two-pass)
+// ---------------------------------------------------------------------------
+// S: strength CSR (row i lists the points i strongly depends on).
+// ST: transpose (row i lists points that strongly depend on i).
+// cf[i]: 0 = F-point, 1 = C-point.  Returns the number of C-points.
+//
+// Pass 1 is the standard greedy max-lambda selection with a bucket queue
+// (lambda_i = |ST_i| + (#new F neighbours)); pass 2 enforces the RS
+// condition that every strong F-F pair shares a common interpolating
+// C-point (Ruge & Stuben 1987).
+int64_t rs_cf(int64_t n, const int64_t* S_indptr, const int32_t* S_indices,
+              const int64_t* ST_indptr, const int32_t* ST_indices, int8_t* cf,
+              int second_pass) {
+  const int8_t UNASSIGNED = -1, FPT = 0, CPT = 1;
+  std::memset(cf, UNASSIGNED, n);
+
+  // lambda_i = number of points that strongly depend on i.
+  std::vector<int64_t> lambda(n);
+  int64_t max_lambda = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    lambda[i] = ST_indptr[i + 1] - ST_indptr[i];
+    max_lambda = std::max(max_lambda, lambda[i]);
+  }
+  // Bucket queue: doubly linked list per lambda value.
+  // Capacity: lambda can grow by at most n during updates; cap to 2n+1.
+  const int64_t nbuckets = 2 * n + 2;
+  std::vector<int64_t> head(nbuckets, -1), nxt(n, -1), prv(n, -1);
+  auto bucket_insert = [&](int64_t i) {
+    int64_t l = lambda[i];
+    nxt[i] = head[l];
+    prv[i] = -1;
+    if (head[l] >= 0) prv[head[l]] = i;
+    head[l] = i;
+  };
+  auto bucket_remove = [&](int64_t i) {
+    int64_t l = lambda[i];
+    if (prv[i] >= 0)
+      nxt[prv[i]] = nxt[i];
+    else
+      head[l] = nxt[i];
+    if (nxt[i] >= 0) prv[nxt[i]] = prv[i];
+  };
+  for (int64_t i = 0; i < n; ++i) bucket_insert(i);
+
+  int64_t n_c = 0;
+  int64_t cur = max_lambda;
+  int64_t remaining = n;
+  while (remaining > 0) {
+    while (cur > 0 && head[cur] < 0) --cur;
+    if (cur <= 0) {
+      // everything left has no influence; mark all F
+      for (int64_t i = 0; i < n; ++i)
+        if (cf[i] == UNASSIGNED) {
+          cf[i] = FPT;
+          --remaining;
+        }
+      break;
+    }
+    const int64_t c = head[cur];
+    bucket_remove(c);
+    cf[c] = CPT;
+    ++n_c;
+    --remaining;
+    // Every unassigned point that strongly depends on c becomes F.
+    for (int64_t k = ST_indptr[c]; k < ST_indptr[c + 1]; ++k) {
+      const int32_t f = ST_indices[k];
+      if (cf[f] != UNASSIGNED) continue;
+      bucket_remove(f);
+      cf[f] = FPT;
+      --remaining;
+      // New F point: boost lambda of its unassigned strong dependencies.
+      for (int64_t k2 = S_indptr[f]; k2 < S_indptr[f + 1]; ++k2) {
+        const int32_t j = S_indices[k2];
+        if (cf[j] != UNASSIGNED) continue;
+        bucket_remove(j);
+        if (lambda[j] + 1 < nbuckets) ++lambda[j];
+        bucket_insert(j);
+        if (lambda[j] > cur) cur = lambda[j];
+      }
+    }
+    // Decrement lambda of unassigned points c strongly depends on
+    // (they are now less useful as C-points).
+    for (int64_t k = S_indptr[c]; k < S_indptr[c + 1]; ++k) {
+      const int32_t j = S_indices[k];
+      if (cf[j] != UNASSIGNED) continue;
+      bucket_remove(j);
+      if (lambda[j] > 0) --lambda[j];
+      bucket_insert(j);
+    }
+  }
+
+  if (second_pass) {
+    // RS pass 2: each strong F-F pair must share a C-point in the
+    // intersection of their strong neighbourhoods.
+    std::vector<int8_t> in_Ci(n, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] != FPT) continue;
+      // mark C_i
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k)
+        if (cf[S_indices[k]] == CPT) in_Ci[S_indices[k]] = 1;
+      int64_t tentative = -1;  // tentatively promoted neighbour
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+        const int32_t j = S_indices[k];
+        if (cf[j] != FPT) continue;
+        bool shared = false;
+        for (int64_t k2 = S_indptr[j]; k2 < S_indptr[j + 1]; ++k2) {
+          if (in_Ci[S_indices[k2]]) {
+            shared = true;
+            break;
+          }
+        }
+        if (!shared) {
+          if (tentative < 0) {
+            tentative = j;   // tentatively promote j
+            cf[j] = CPT;
+            in_Ci[j] = 1;
+          } else {
+            // second failure: make i itself a C point, undo j's promotion
+            cf[tentative] = FPT;
+            in_Ci[tentative] = 0;
+            cf[i] = CPT;
+            tentative = -1;
+            break;
+          }
+        }
+      }
+      // clear marks
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k)
+        in_Ci[S_indices[k]] = 0;
+      if (tentative >= 0) in_Ci[tentative] = 0;
+    }
+    n_c = 0;
+    for (int64_t i = 0; i < n; ++i) n_c += (cf[i] == CPT);
+  }
+  return n_c;
+}
+
+// ---------------------------------------------------------------------------
+// PMIS C/F splitting (parallel-friendly, deterministic)
+// ---------------------------------------------------------------------------
+// De Sterck, Yang & Heys 2006.  Uses a deterministic per-node hash as the
+// random tiebreaker so results are reproducible across runs/shards.
+static inline double hash01(uint64_t x, uint64_t seed) {
+  x ^= seed + 0x9e3779b97f4a7c15ULL;
+  x ^= x >> 30; x *= 0xbf58476d1ce4e5b9ULL;
+  x ^= x >> 27; x *= 0x94d049bb133111ebULL;
+  x ^= x >> 31;
+  return (double)(x >> 11) * (1.0 / 9007199254740992.0);
+}
+
+int64_t pmis_cf(int64_t n, const int64_t* S_indptr, const int32_t* S_indices,
+                const int64_t* ST_indptr, const int32_t* ST_indices,
+                uint64_t seed, int8_t* cf) {
+  const int8_t UNASSIGNED = -1, FPT = 0, CPT = 1;
+  std::memset(cf, UNASSIGNED, n);
+  // weight = |ST_i| + rand(i)
+  std::vector<double> w(n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    w[i] = (double)(ST_indptr[i + 1] - ST_indptr[i]) + hash01((uint64_t)i, seed);
+  // points with no strong connections at all become F immediately
+  // (they neither need nor provide interpolation)
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    if (S_indptr[i + 1] == S_indptr[i] && ST_indptr[i + 1] == ST_indptr[i])
+      cf[i] = FPT;
+  }
+  int64_t remaining_prev = -1;
+  for (;;) {
+    // select: i becomes C if w_i > w_j for all unassigned strong neighbours
+    // (in the symmetrized graph S union ST)
+    int64_t remaining = 0;
+#pragma omp parallel for schedule(static) reduction(+ : remaining)
+    for (int64_t i = 0; i < n; ++i)
+      if (cf[i] == UNASSIGNED) ++remaining;
+    if (remaining == 0 || remaining == remaining_prev) break;
+    remaining_prev = remaining;
+    std::vector<int8_t> newc(n, 0);
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] != UNASSIGNED) continue;
+      bool best = true;
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1] && best; ++k) {
+        const int32_t j = S_indices[k];
+        if (cf[j] == UNASSIGNED && w[j] >= w[i] && j != (int32_t)i) best = false;
+      }
+      for (int64_t k = ST_indptr[i]; k < ST_indptr[i + 1] && best; ++k) {
+        const int32_t j = ST_indices[k];
+        if (cf[j] == UNASSIGNED && w[j] >= w[i] && j != (int32_t)i) best = false;
+      }
+      if (best) newc[i] = 1;
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+      if (newc[i]) cf[i] = CPT;
+    // F-assignment: unassigned point strongly depending on a new C becomes F
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] != UNASSIGNED) continue;
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+        if (cf[S_indices[k]] == CPT) {
+          cf[i] = FPT;
+          break;
+        }
+      }
+    }
+  }
+  // safety: anything left unassigned becomes C (isolated in strength graph)
+  int64_t n_c = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (cf[i] == UNASSIGNED) cf[i] = CPT;
+    n_c += (cf[i] == CPT);
+  }
+  return n_c;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy aggregation (Vanek, Mandel & Brezina 1996)
+// ---------------------------------------------------------------------------
+// agg[i] = aggregate id, or -1 on input.  Returns the number of aggregates.
+int64_t aggregate_greedy(int64_t n, const int64_t* S_indptr,
+                         const int32_t* S_indices, int32_t* agg) {
+  for (int64_t i = 0; i < n; ++i) agg[i] = -1;
+  int64_t next_agg = 0;
+  // Pass 1: root nodes whose strong neighbourhood is fully unaggregated.
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    bool free_nbhd = true;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k)
+      if (agg[S_indices[k]] != -1) {
+        free_nbhd = false;
+        break;
+      }
+    if (!free_nbhd) continue;
+    agg[i] = (int32_t)next_agg;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k)
+      agg[S_indices[k]] = (int32_t)next_agg;
+    ++next_agg;
+  }
+  // Pass 2: attach remaining nodes to a neighbouring aggregate.
+  std::vector<int32_t> agg2(agg, agg + n);
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+      const int32_t j = S_indices[k];
+      if (agg[j] != -1) {
+        agg2[i] = agg[j];
+        break;
+      }
+    }
+  }
+  std::memcpy(agg, agg2.data(), n * sizeof(int32_t));
+  // Pass 3: leftovers form their own aggregates (chains of weak points).
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    agg[i] = (int32_t)next_agg;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k)
+      if (agg[S_indices[k]] == -1) agg[S_indices[k]] = (int32_t)next_agg;
+    ++next_agg;
+  }
+  return next_agg;
+}
+
+// ---------------------------------------------------------------------------
+// Classical direct interpolation (BoomerAMG-style, with +/- splitting)
+// ---------------------------------------------------------------------------
+// For F-point i:  w_ij = -alpha * a_ij / d_ii  (j in C_i, a_ij < 0)
+//                 w_ij = -beta  * a_ij / d_ii  (j in C_i, a_ij > 0)
+// alpha = sum of all negative off-diag a_ik / sum of negative a_ij over C_i,
+// beta likewise for positive entries; if no positive C connections exist the
+// positive off-diagonal mass is lumped into the diagonal d_ii.
+// C-points interpolate by injection.  cmap[i] = coarse index of C-point i.
+// Caller allocates P_indices / P_data with capacity >= nnz(A) + n.
+// Returns nnz(P).
+int64_t direct_interp(int64_t n, const int64_t* indptr, const int32_t* indices,
+                      const double* data, const uint8_t* strong,
+                      const int8_t* cf, const int32_t* cmap, int64_t* P_indptr,
+                      int32_t* P_indices, double* P_data) {
+  int64_t nnz = 0;
+  P_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (cf[i] == 1) {  // C-point: injection
+      P_indices[nnz] = cmap[i];
+      P_data[nnz] = 1.0;
+      ++nnz;
+    } else {
+      double diag = 0.0;
+      double sum_neg_all = 0.0, sum_pos_all = 0.0;
+      double sum_neg_C = 0.0, sum_pos_C = 0.0;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        const double v = data[k];
+        if (j == (int32_t)i) {
+          diag += v;
+          continue;
+        }
+        if (v < 0)
+          sum_neg_all += v;
+        else
+          sum_pos_all += v;
+        if (strong[k] && cf[j] == 1) {
+          if (v < 0)
+            sum_neg_C += v;
+          else
+            sum_pos_C += v;
+        }
+      }
+      const double alpha = (sum_neg_C != 0.0) ? sum_neg_all / sum_neg_C : 0.0;
+      double beta = 0.0;
+      if (sum_pos_C != 0.0)
+        beta = sum_pos_all / sum_pos_C;
+      else
+        diag += sum_pos_all;  // lump positive mass into diagonal
+      if (diag != 0.0) {
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+          const int32_t j = indices[k];
+          if (j == (int32_t)i || !strong[k] || cf[j] != 1) continue;
+          const double v = data[k];
+          const double w = (v < 0) ? -alpha * v / diag : -beta * v / diag;
+          if (w != 0.0) {
+            P_indices[nnz] = cmap[j];
+            P_data[nnz] = w;
+            ++nnz;
+          }
+        }
+      }
+    }
+    P_indptr[i + 1] = nnz;
+  }
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering (bandwidth reduction for device layouts)
+// ---------------------------------------------------------------------------
+int64_t rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  int32_t* perm) {
+  std::vector<int32_t> deg(n);
+  for (int64_t i = 0; i < n; ++i)
+    deg[i] = (int32_t)(indptr[i + 1] - indptr[i]);
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int32_t> order;
+  order.reserve(n);
+  std::vector<int32_t> frontier;
+  for (int64_t start_scan = 0; (int64_t)order.size() < n;) {
+    // find unvisited node of minimum degree
+    int64_t best = -1;
+    for (int64_t i = start_scan; i < n; ++i) {
+      if (!visited[i] && (best < 0 || deg[i] < deg[best])) best = i;
+      if (!visited[i] && best >= 0 && deg[best] <= 1) break;
+    }
+    if (best < 0) break;
+    visited[best] = 1;
+    order.push_back((int32_t)best);
+    size_t qhead = order.size() - 1;
+    while (qhead < order.size()) {
+      const int32_t u = order[qhead++];
+      frontier.clear();
+      for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+        const int32_t v = indices[k];
+        if (!visited[v]) {
+          visited[v] = 1;
+          frontier.push_back(v);
+        }
+      }
+      std::sort(frontier.begin(), frontier.end(),
+                [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+      for (int32_t v : frontier) order.push_back(v);
+    }
+  }
+  // reverse
+  for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+  return n;
+}
+
+}  // extern "C"

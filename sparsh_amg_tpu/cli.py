@@ -1,0 +1,94 @@
+"""Benchmark / example-driver CLI (SURVEY.md §2 C26: the reference's main()
+programs read a matrix, pick strategy/smoother/cycle via argv, solve, and
+print timings).
+
+    python -m sparsh_amg_tpu.cli --problem poisson3d --n 8000000 \
+        --smoother chebyshev --cycle V --krylov cg --tol 1e-8 --json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .params import AMGParams, KrylovParams
+from .models import get_problem
+from .solve.solver import AMGSolver
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sparsh_amg_tpu",
+                                description=__doc__)
+    p.add_argument("--problem", default="poisson2d",
+                   help="poisson2d|poisson3d|anisotropic|elasticity or a "
+                        "path to a MatrixMarket .mtx file")
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--theta", type=float, default=0.25)
+    p.add_argument("--coarsening", default="rs",
+                   choices=["rs", "pmis", "aggregation"])
+    p.add_argument("--interpolation", default=None,
+                   choices=[None, "direct", "tentative", "smoothed"])
+    p.add_argument("--smoother", default="jacobi",
+                   choices=["jacobi", "l1jacobi", "chebyshev"])
+    p.add_argument("--cycle", default="V", choices=["V", "W", "F"])
+    p.add_argument("--nu1", type=int, default=1)
+    p.add_argument("--nu2", type=int, default=1)
+    p.add_argument("--krylov", default="cg", choices=["cg", "bicgstab"])
+    p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--maxiter", type=int, default=500)
+    p.add_argument("--no-refine", action="store_true")
+    p.add_argument("--coarse-size", type=int, default=64)
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON line with the results")
+    return p
+
+
+def run(argv=None) -> dict:
+    args = build_argparser().parse_args(argv)
+    interp = args.interpolation or (
+        "smoothed" if args.coarsening == "aggregation" else "direct")
+    params = AMGParams(theta=args.theta, coarsening=args.coarsening,
+                       interpolation=interp, smoother=args.smoother,
+                       cycle=args.cycle, nu1=args.nu1, nu2=args.nu2,
+                       coarse_size=args.coarse_size)
+    krylov = KrylovParams(method=args.krylov, tol=args.tol,
+                          maxiter=args.maxiter, refine=not args.no_refine)
+
+    if args.problem.endswith(".mtx"):
+        import scipy.io
+        import scipy.sparse as sp
+        A = sp.csr_matrix(scipy.io.mmread(args.problem))
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(A.shape[0])
+        name = args.problem
+    else:
+        prob = get_problem(args.problem, n=args.n)
+        A, b, name = prob.A, prob.b, prob.name
+
+    solver = AMGSolver(A, params, krylov)
+    res = solver.solve(b)
+    nnz = A.nnz
+    out = {
+        "problem": name, "n": A.shape[0], "nnz": int(nnz),
+        "levels": solver.hierarchy.n_levels,
+        "operator_complexity": solver.hierarchy.operator_complexity(),
+        "converged": bool(res.converged), "relres": res.relres,
+        "iterations": res.iterations, "refine_passes": res.refine_passes,
+        "setup_time_s": res.setup_time, "solve_time_s": res.solve_time,
+        "dof_per_s": A.shape[0] * max(res.iterations, 1) / max(res.solve_time, 1e-12),
+    }
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(solver.hierarchy)
+        print(res)
+        for k, v in out.items():
+            print(f"{k:>22s}: {v}")
+    return out
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,53 @@
+"""Rotated anisotropic diffusion (BASELINE.json config 2: eps=1e-3 rotated).
+
+-div(K grad u) with K = R(angle)^T diag(1, eps) R(angle), discretized with
+the standard 9-point FD stencil on a uniform grid (the classic AMG stress
+test; see Briggs/Henson/McCormick and the BoomerAMG papers, SURVEY.md [L]).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def anisotropic2d(nx: int, ny: int | None = None, epsilon: float = 1e-3,
+                  angle_deg: float = 45.0, dtype=np.float64) -> sp.csr_matrix:
+    """9-point rotated-anisotropy stencil on nx-by-ny interior grid."""
+    ny = nx if ny is None else ny
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    # Diffusion tensor entries.
+    a = c * c + epsilon * s * s        # u_xx coefficient
+    b = epsilon * c * c + s * s        # u_yy coefficient
+    d = (1.0 - epsilon) * c * s        # cross-term u_xy coefficient
+    # FD stencil (second order): u_xx, u_yy central; u_xy via the standard
+    # 4-corner stencil.  Stencil entries at offsets (dx, dy):
+    stencil = {
+        (0, 0): 2 * a + 2 * b,
+        (-1, 0): -a, (1, 0): -a,
+        (0, -1): -b, (0, 1): -b,
+        (-1, -1): -d / 2, (1, 1): -d / 2,
+        (-1, 1): d / 2, (1, -1): d / 2,
+    }
+    n = nx * ny
+    rows, cols, vals = [], [], []
+    ix = np.arange(nx)
+    iy = np.arange(ny)
+    IX, IY = np.meshgrid(ix, iy)               # IY slowest: index = iy*nx+ix
+    idx = (IY * nx + IX).ravel()
+    IXf, IYf = IX.ravel(), IY.ravel()
+    for (dx, dy), v in stencil.items():
+        if v == 0.0:
+            continue
+        jx, jy = IXf + dx, IYf + dy
+        m = (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+        rows.append(idx[m])
+        cols.append((jy[m] * nx + jx[m]))
+        vals.append(np.full(m.sum(), v, dtype=dtype))
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    return A

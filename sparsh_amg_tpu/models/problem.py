@@ -1,0 +1,61 @@
+"""Named benchmark problems (the reference's example-driver matrices,
+BASELINE.json configs 0-4)."""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+from .poisson import poisson2d, poisson3d
+from .anisotropic import anisotropic2d
+from .elasticity import elasticity2d
+
+
+@dataclasses.dataclass
+class Problem:
+    name: str
+    A: sp.csr_matrix
+    b: np.ndarray
+    meta: dict
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+
+def _rhs(A: sp.csr_matrix, kind: str = "random", seed: int = 0) -> np.ndarray:
+    n = A.shape[0]
+    if kind == "ones":
+        return A @ np.ones(n)
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(n)
+    return b / np.linalg.norm(b)
+
+
+def get_problem(name: str, n: int | None = None, rhs: str = "random",
+                **kw) -> Problem:
+    """Build a named problem sized to ~n unknowns.
+
+    Names: poisson2d, poisson3d, anisotropic, elasticity.
+    """
+    if name == "poisson2d":
+        nx = int(round((n or 1_000_000) ** 0.5))
+        A = poisson2d(nx, **kw)
+        meta = {"nx": nx, "grid": (nx, nx)}
+    elif name == "poisson3d":
+        nx = int(round((n or 8_000_000) ** (1.0 / 3.0)))
+        A = poisson3d(nx, **kw)
+        meta = {"nx": nx, "grid": (nx, nx, nx)}
+    elif name == "anisotropic":
+        nx = int(round((n or 1_000_000) ** 0.5))
+        A = anisotropic2d(nx, **kw)
+        meta = {"nx": nx, "epsilon": kw.get("epsilon", 1e-3),
+                "angle_deg": kw.get("angle_deg", 45.0)}
+    elif name == "elasticity":
+        nx = int(round(((n or 500_000) / 2) ** 0.5))
+        A = elasticity2d(nx, **kw)
+        meta = {"nx": nx}
+    else:
+        raise ValueError(f"unknown problem {name!r}")
+    return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta)

@@ -1,0 +1,83 @@
+"""Double-float sparse operators for high-precision residuals.
+
+The iterative-refinement outer loop (solve to 1e-8 on fp32 hardware,
+SURVEY.md §7 hard-part #1) needs r = b - A x evaluated beyond fp32: the
+fine-level operator is stored as a df64 pair (hi, lo) in the same DIA/ELL
+layout, and the SpMV accumulates in df64.  ~6x the flops of the fp32 SpMV,
+still HBM-bound, and runs only once per refinement pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from . import df64
+from .formats import DiaMatrix, EllMatrix, csr_to_device
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A_hi", "lo"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class Df64Matrix:
+    """A sparse matrix as a df64 pair: A = A_hi + lo (lo shares A_hi's
+    layout arrays)."""
+    A_hi: object              # DiaMatrix | EllMatrix (fp32)
+    lo: jax.Array             # same shape as A_hi.bands / A_hi.vals
+
+    def spmv_df64(self, x_hi, x_lo):
+        """y = A @ x in df64; returns (y_hi, y_lo)."""
+        A = self.A_hi
+        if isinstance(A, DiaMatrix):
+            n_pad = A.n_pad
+            maxoff = max((abs(o) for o in A.offsets), default=0)
+            xh = jnp.pad(x_hi, (maxoff, maxoff))
+            xl = jnp.pad(x_lo, (maxoff, maxoff))
+            y_hi = jnp.zeros(n_pad, dtype=x_hi.dtype)
+            y_lo = jnp.zeros(n_pad, dtype=x_hi.dtype)
+            for d, off in enumerate(A.offsets):
+                sh = jax.lax.dynamic_slice(xh, (maxoff + off,), (n_pad,))
+                sl = jax.lax.dynamic_slice(xl, (maxoff + off,), (n_pad,))
+                p_hi, p_lo = df64.mul(A.bands[d], self.lo[d], sh, sl)
+                y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
+            return y_hi, y_lo
+        elif isinstance(A, EllMatrix):
+            y_hi = jnp.zeros(A.n_pad, dtype=x_hi.dtype)
+            y_lo = jnp.zeros(A.n_pad, dtype=x_hi.dtype)
+            for k in range(A.k):
+                gh = x_hi.at[A.cols[k]].get(mode="promise_in_bounds")
+                gl = x_lo.at[A.cols[k]].get(mode="promise_in_bounds")
+                p_hi, p_lo = df64.mul(A.vals[k], self.lo[k], gh, gl)
+                y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
+            return y_hi, y_lo
+        raise TypeError(type(A))
+
+
+def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
+                dia_max_bands: int = 32) -> Df64Matrix:
+    """Build a df64 device operator from a host float64 CSR matrix."""
+    A_hi_host = A.copy()
+    A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
+    lo_host = A.copy()
+    lo_host.data = A.data - A_hi_host.data
+    A_hi = csr_to_device(A_hi_host, dtype=jnp.float32, prefer_dia=prefer_dia,
+                         dia_max_bands=dia_max_bands)
+    # lo shares A's sparsity pattern exactly (no eliminate_zeros), so the
+    # format choice and slot/band layout are identical.
+    lo_dev = csr_to_device(lo_host, dtype=jnp.float32, prefer_dia=prefer_dia,
+                           dia_max_bands=dia_max_bands)
+    if isinstance(A_hi, DiaMatrix):
+        assert isinstance(lo_dev, DiaMatrix) and lo_dev.offsets == A_hi.offsets
+        return Df64Matrix(A_hi=A_hi, lo=lo_dev.bands)
+    assert isinstance(lo_dev, EllMatrix) and lo_dev.vals.shape == A_hi.vals.shape
+    return Df64Matrix(A_hi=A_hi, lo=lo_dev.vals)
+
+
+def residual_df64(Adf: Df64Matrix, b_hi, b_lo, x_hi, x_lo):
+    """r = b - A x in df64."""
+    ax_hi, ax_lo = Adf.spmv_df64(x_hi, x_lo)
+    return df64.sub(b_hi, b_lo, ax_hi, ax_lo)

@@ -1,0 +1,159 @@
+"""Device sparse-matrix layouts and SpMV (SURVEY.md §2 C1, C4/C5).
+
+The reference stores CSR on host and device and runs OpenMP/cuSPARSE SpMV.
+CSR's per-row ragged loop is hostile to the TPU's (8,128) vector tiles, so
+matrices are frozen at setup time into one of two padded, static layouts:
+
+* DIA (diagonal): for stencil-structured matrices every nonzero lies on one
+  of a few constant offsets ``col - row``; y = sum_d band_d * shift(x, d).
+  Pure shifted elementwise FMAs — zero gathers, HBM-bandwidth bound.
+* ELL-T (transposed ELLPACK): ``cols``/``vals`` of shape (K, n_pad); row i
+  has its nonzeros spread over the K slots (padded with val=0, col=0).
+  y = sum_k vals[k] * x[cols[k]] — K contiguous 1-D gathers.
+
+Both are registered pytrees so entire hierarchies jit cleanly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bands"], meta_fields=["offsets", "n_rows", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal storage. bands[d, i] = A[i, i + offsets[d]] (0 outside)."""
+    bands: jax.Array          # (n_diags, n_pad)
+    offsets: tuple            # static ints, sorted
+    n_rows: int
+    n_cols: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.bands.shape[1]
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """y[i] = sum_d bands[d,i] * x[i + off_d];  x padded to n_pad."""
+        n_pad = self.n_pad
+        maxoff = max((abs(o) for o in self.offsets), default=0)
+        xp = jnp.pad(x, (maxoff, maxoff))
+        y = jnp.zeros(n_pad, dtype=x.dtype)
+        for d, off in enumerate(self.offsets):
+            seg = jax.lax.dynamic_slice(xp, (maxoff + off,), (n_pad,))
+            y = y + self.bands[d] * seg
+        return y
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cols", "vals"], meta_fields=["n_rows", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Transposed-ELL storage: cols/vals (K, n_pad); pad entries val=0,col=0."""
+    cols: jax.Array           # (K, n_pad) int32
+    vals: jax.Array           # (K, n_pad)
+    n_rows: int
+    n_cols: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def k(self) -> int:
+        return self.cols.shape[0]
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """y = sum_k vals[k] * x[cols[k]].  x must have length >= n_cols;
+        padding cols point at entry 0 with val 0, so any x works."""
+        y = jnp.zeros(self.n_pad, dtype=x.dtype)
+        for k in range(self.k):
+            y = y + self.vals[k] * x.at[self.cols[k]].get(mode="promise_in_bounds")
+        return y
+
+
+def spmv(A, x: jax.Array) -> jax.Array:
+    """Polymorphic SpMV over device layouts."""
+    return A.spmv(x)
+
+
+# ---------------------------------------------------------------------------
+# Host -> device conversion
+# ---------------------------------------------------------------------------
+
+def csr_diag_offsets(A: sp.csr_matrix) -> np.ndarray:
+    """Distinct values of (col - row) over the nonzeros."""
+    rows = np.repeat(np.arange(A.shape[0], dtype=np.int64),
+                     np.diff(A.indptr))
+    return np.unique(A.indices.astype(np.int64) - rows)
+
+
+def csr_to_dia(A: sp.csr_matrix, dtype=jnp.float32,
+               pad_multiple: int = 128) -> DiaMatrix:
+    n, m = A.shape
+    assert n == m, "DIA layout requires a square matrix"
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    offs = A.indices.astype(np.int64) - rows
+    uoffs = np.unique(offs)
+    n_pad = _round_up(max(n, 1), pad_multiple)
+    bands = np.zeros((len(uoffs), n_pad), dtype=np.float64)
+    pos = np.searchsorted(uoffs, offs)
+    bands[pos, rows] = A.data
+    return DiaMatrix(bands=jnp.asarray(bands, dtype=dtype),
+                     offsets=tuple(int(o) for o in uoffs),
+                     n_rows=n, n_cols=m)
+
+
+def csr_to_ell(A: sp.csr_matrix, dtype=jnp.float32,
+               pad_multiple: int = 128) -> EllMatrix:
+    n, m = A.shape
+    nnz_per_row = np.diff(A.indptr)
+    K = max(int(nnz_per_row.max()) if n > 0 else 0, 1)
+    n_pad = _round_up(max(n, 1), pad_multiple)
+    cols = np.zeros((K, n_pad), dtype=np.int32)
+    vals = np.zeros((K, n_pad), dtype=np.float64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
+    # slot index of each nnz within its row
+    slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+        A.indptr[:-1].astype(np.int64), nnz_per_row)
+    cols[slot, rows] = A.indices
+    vals[slot, rows] = A.data
+    return EllMatrix(cols=jnp.asarray(cols),
+                     vals=jnp.asarray(vals, dtype=dtype),
+                     n_rows=n, n_cols=m)
+
+
+def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
+                  dia_max_bands: int = 32, pad_multiple: int = 128):
+    """Pick the best device layout for a host CSR matrix.
+
+    DIA when the matrix is square, stencil-structured (few distinct
+    diagonals) and dense-enough within them; ELL otherwise.
+    """
+    n, m = A.shape
+    if prefer_dia and n == m and A.nnz > 0:
+        uoffs = csr_diag_offsets(A)
+        if len(uoffs) <= dia_max_bands:
+            # DIA wastes (n_diags*n - nnz) slots; accept if <= 2x blowup
+            if len(uoffs) * n <= 4 * A.nnz:
+                return csr_to_dia(A, dtype, pad_multiple)
+    return csr_to_ell(A, dtype, pad_multiple)
+
+
+def device_matvec_dense(A, n: int | None = None):
+    """Return a dense-vector matvec closure y = A@x with logical sizes
+    (truncates padding). Mostly for tests."""
+    def mv(x):
+        xp = jnp.pad(x, (0, A.n_pad - x.shape[0])) \
+            if x.shape[0] < A.n_pad else x
+        return A.spmv(xp)[: (n or A.n_rows)]
+    return mv

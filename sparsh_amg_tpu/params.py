@@ -1,0 +1,67 @@
+"""Solver configuration.
+
+The reference (SParSH-AMG, cmgcds/SParSH-AMG) configures solves through argv
+flags in its example drivers plus compile-time constants (theta, omega,
+nu1/nu2, cycle type, hybrid strategy enum) — see SURVEY.md §5.6.  Here the
+whole configuration surface is a single frozen dataclass so that it can be
+hashed and used as a static argument to jitted solve functions.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGParams:
+    """Parameters controlling AMG hierarchy construction and cycling.
+
+    Mirrors the reference's setup/solve knobs (SURVEY.md §2 C9-C18):
+    strength threshold, coarsening scheme, interpolation, smoother, cycle
+    shape, and coarsest-level handling.
+    """
+
+    # --- setup phase ---
+    theta: float = 0.25                # strength-of-connection threshold
+    coarsening: str = "rs"             # rs | pmis | aggregation
+    interpolation: str = "direct"      # direct | tentative | smoothed
+    max_levels: int = 25
+    coarse_size: int = 64              # stop coarsening at/below this n
+    jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
+    # --- solve phase ---
+    smoother: str = "jacobi"           # jacobi | l1jacobi | chebyshev | sor2
+    jacobi_omega: float = 2.0 / 3.0
+    cheby_degree: int = 3
+    cheby_lower_frac: float = 1.0 / 30.0  # lower bound = frac * lambda_max
+    nu1: int = 1                       # pre-smoothing sweeps
+    nu2: int = 1                       # post-smoothing sweeps
+    cycle: str = "V"                   # V | W | F
+    coarse_solver: str = "lu"          # lu | cholesky | smooth
+    # --- device layout ---
+    dtype: str = "float32"             # device solve dtype
+    prefer_dia: bool = True            # use DIA (stencil) layout when it fits
+    dia_max_bands: int = 32            # densify-to-bands threshold
+    ell_pad_multiple: int = 8          # pad rows to a multiple of this
+
+    def replace(self, **kw) -> "AMGParams":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class KrylovParams:
+    """Outer Krylov solve controls (reference: solve() argv flags)."""
+
+    method: str = "cg"                 # cg | bicgstab
+    tol: float = 1e-8                  # relative residual target
+    maxiter: int = 500
+    # Mixed-precision iterative refinement: the device cycle runs in fp32
+    # (TPU has no fast native f64); to reach tol below fp32 roundoff the
+    # outer loop recomputes residuals in double-float (df64) arithmetic and
+    # accumulates x in df64.  SURVEY.md §7 "hard parts" #1.
+    refine: bool = True
+    inner_tol: float = 1e-5            # per-refinement-pass inner tolerance
+    max_refine: int = 6
+
+
+DEFAULT_AMG = AMGParams()
+DEFAULT_KRYLOV = KrylovParams()

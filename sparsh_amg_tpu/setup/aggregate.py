@@ -1,0 +1,71 @@
+"""Aggregation coarsening (SURVEY.md §2 C11): greedy root-node aggregation
+(Vanek, Mandel & Brezina 1996), tentative piecewise-constant prolongator, and
+optional prolongator smoothing  P = (I - omega D^-1 A) P_tent."""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .._native import get_lib
+
+
+def greedy_aggregation(S: sp.csr_matrix) -> tuple[np.ndarray, int]:
+    """Return (agg, n_agg): aggregate id per point."""
+    n = S.shape[0]
+    Sp = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    Si = np.ascontiguousarray(S.indices, dtype=np.int32)
+    agg = np.empty(n, dtype=np.int32)
+    lib = get_lib()
+    if lib is not None:
+        n_agg = lib.aggregate_greedy(n, Sp, Si, agg)
+        return agg, int(n_agg)
+    return _aggregate_python(n, Sp, Si, agg)
+
+
+def _aggregate_python(n, Sp, Si, agg):
+    agg[:] = -1
+    next_agg = 0
+    for i in range(n):                      # pass 1: free roots
+        if agg[i] != -1:
+            continue
+        nb = Si[Sp[i]:Sp[i + 1]]
+        if (agg[nb] == -1).all():
+            agg[i] = next_agg
+            agg[nb] = next_agg
+            next_agg += 1
+    agg2 = agg.copy()
+    for i in range(n):                      # pass 2: attach to neighbours
+        if agg[i] != -1:
+            continue
+        nb = Si[Sp[i]:Sp[i + 1]]
+        owned = nb[agg[nb] != -1]
+        if len(owned):
+            agg2[i] = agg[owned[0]]
+    agg[:] = agg2
+    for i in range(n):                      # pass 3: leftovers
+        if agg[i] != -1:
+            continue
+        agg[i] = next_agg
+        nb = Si[Sp[i]:Sp[i + 1]]
+        agg[nb[agg[nb] == -1]] = next_agg
+        next_agg += 1
+    return agg, next_agg
+
+
+def tentative_prolongator(agg: np.ndarray, n_agg: int) -> sp.csr_matrix:
+    """Piecewise-constant tentative P: P[i, agg[i]] = 1."""
+    n = len(agg)
+    return sp.csr_matrix(
+        (np.ones(n), (np.arange(n), agg.astype(np.int64))),
+        shape=(n, n_agg))
+
+
+def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
+                       omega: float = 2.0 / 3.0) -> sp.csr_matrix:
+    """One damped-Jacobi smoothing step: P = (I - omega D^-1 A) P_tent."""
+    d = A.diagonal()
+    dinv = np.where(d != 0, 1.0 / d, 0.0)
+    Dinv_A = sp.diags(dinv) @ A
+    P = (P_tent - omega * (Dinv_A @ P_tent)).tocsr()
+    P.sum_duplicates()
+    return P

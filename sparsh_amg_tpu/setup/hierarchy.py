@@ -1,0 +1,118 @@
+"""AMG hierarchy construction (SURVEY.md §3.2 `amg_setup`).
+
+Recursively: strength -> coarsen (RS | PMIS | aggregation) -> build P ->
+R = P^T -> Galerkin RAP, until the coarse problem is small enough.  Runs
+entirely on the host in float64 (the reference's CPU setup phase); the
+resulting hierarchy is then frozen into padded device layouts by
+:mod:`sparsh_amg_tpu.ops.device_hierarchy`.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..params import AMGParams
+from .strength import classical_strength, symmetric_strength
+from .splitting import rs_splitting, pmis_splitting
+from .interp import direct_interpolation
+from .aggregate import (greedy_aggregation, tentative_prolongator,
+                        smooth_prolongator)
+
+
+@dataclasses.dataclass
+class Level:
+    """One level of the hierarchy (host-side, float64 CSR)."""
+    A: sp.csr_matrix
+    P: sp.csr_matrix | None = None   # prolongation to THIS level from coarser
+    R: sp.csr_matrix | None = None   # restriction from this level to coarser
+    cf: np.ndarray | None = None     # C/F split used here (None for agg)
+    agg: np.ndarray | None = None    # aggregate map (aggregation coarsening)
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.A.nnz
+
+
+@dataclasses.dataclass
+class Hierarchy:
+    levels: list[Level]
+    params: AMGParams
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+    def operator_complexity(self) -> float:
+        return sum(l.nnz for l in self.levels) / max(self.levels[0].nnz, 1)
+
+    def grid_complexity(self) -> float:
+        return sum(l.n for l in self.levels) / max(self.levels[0].n, 1)
+
+    def __repr__(self):
+        rows = [
+            f"  level {i}: n={l.n:>12,d}  nnz={l.nnz:>14,d}"
+            for i, l in enumerate(self.levels)
+        ]
+        return (f"Hierarchy({self.params.coarsening}, "
+                f"{self.n_levels} levels, opC={self.operator_complexity():.2f})\n"
+                + "\n".join(rows))
+
+
+def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
+    """One setup step: returns (P, cf, agg) or None if coarsening stalls."""
+    if params.coarsening in ("rs", "pmis"):
+        strong_mask, S = classical_strength(A, params.theta)
+        if params.coarsening == "rs":
+            cf = rs_splitting(S)
+        else:
+            cf = pmis_splitting(S)
+        n_c = int((cf == 1).sum())
+        if n_c == 0 or n_c >= A.shape[0]:
+            return None
+        P = direct_interpolation(A, strong_mask, cf)
+        return P, cf, None
+    elif params.coarsening == "aggregation":
+        _, S = symmetric_strength(A, params.theta)
+        agg, n_agg = greedy_aggregation(S)
+        if n_agg == 0 or n_agg >= A.shape[0]:
+            return None
+        P = tentative_prolongator(agg, n_agg)
+        if params.interpolation == "smoothed":
+            P = smooth_prolongator(A, P, params.jacobi_omega_smooth_P)
+        return P, None, agg
+    raise ValueError(f"unknown coarsening {params.coarsening!r}")
+
+
+def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None) -> Hierarchy:
+    """Build the AMG hierarchy for CSR matrix A (host, float64)."""
+    params = params or AMGParams()
+    A = A.tocsr().astype(np.float64)
+    A.sum_duplicates()
+    levels = [Level(A=A)]
+    while (levels[-1].n > params.coarse_size
+           and len(levels) < params.max_levels):
+        out = _coarsen_once(levels[-1].A, params)
+        if out is None:
+            break
+        P, cf, agg = out
+        R = P.T.tocsr()
+        Ac = (R @ (levels[-1].A @ P)).tocsr()
+        Ac.sum_duplicates()
+        Ac.eliminate_zeros()
+        levels[-1].P = P
+        levels[-1].R = R
+        levels[-1].cf = cf
+        levels[-1].agg = agg
+        # guard against stagnating coarsening (ratio too close to 1)
+        if Ac.shape[0] >= 0.95 * levels[-1].n and len(levels) > 1:
+            levels[-1].P = None
+            levels[-1].R = None
+            break
+        levels.append(Level(A=Ac))
+    return Hierarchy(levels=levels, params=params)

@@ -1,0 +1,70 @@
+"""Strength of connection (reference: SURVEY.md §2 C9).
+
+Classical SoC: j in S_i  iff  -a_ij >= theta * max_{k != i}(-a_ik).
+Symmetric SoC (for aggregation): |a_ij| >= theta * sqrt(|a_ii a_jj|).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .._native import get_lib, csr_arrays
+
+
+def _rows_of_nnz(A: sp.csr_matrix) -> np.ndarray:
+    return np.repeat(
+        np.arange(A.shape[0], dtype=np.int64), np.diff(A.indptr))
+
+
+def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
+    """Return (strong_mask over A.data, S) where S is the 0/1 strength CSR."""
+    n = A.shape[0]
+    lib = get_lib()
+    if lib is not None:
+        indptr, indices, data = csr_arrays(A)
+        strong = np.empty(len(indices), dtype=np.uint8)
+        lib.soc_classical(n, indptr, indices, data, float(theta), strong)
+        mask = strong.astype(bool)
+    else:
+        rows = _rows_of_nnz(A)
+        offdiag = A.indices != rows
+        neg = np.where(offdiag, -A.data, -np.inf)
+        maxoff = np.full(n, -np.inf)
+        np.maximum.at(maxoff, rows, neg)
+        cut = theta * maxoff
+        mask = offdiag & (-A.data > 0) & (maxoff[rows] > 0) & (-A.data >= cut[rows])
+    S = sp.csr_matrix(
+        (np.ones(int(mask.sum()), dtype=np.float64),
+         A.indices[mask].astype(np.int32), _mask_indptr(A, mask)),
+        shape=A.shape)
+    return mask, S
+
+
+def _mask_indptr(A: sp.csr_matrix, mask: np.ndarray) -> np.ndarray:
+    """indptr of the masked CSR."""
+    counts = np.zeros(A.shape[0], dtype=np.int64)
+    rows = _rows_of_nnz(A)
+    np.add.at(counts, rows, mask.astype(np.int64))
+    return np.concatenate([[0], np.cumsum(counts)])
+
+
+def symmetric_strength(A: sp.csr_matrix, theta: float = 0.25):
+    """Vanek-style symmetric strength for aggregation."""
+    n = A.shape[0]
+    lib = get_lib()
+    if lib is not None:
+        indptr, indices, data = csr_arrays(A)
+        strong = np.empty(len(indices), dtype=np.uint8)
+        lib.soc_symmetric(n, indptr, indices, data, float(theta), strong)
+        mask = strong.astype(bool)
+    else:
+        rows = _rows_of_nnz(A)
+        diag = np.zeros(n)
+        dmask = A.indices == rows
+        diag[rows[dmask]] = np.abs(A.data[dmask])
+        cut = theta * np.sqrt(diag[rows] * diag[A.indices])
+        mask = (~dmask) & (np.abs(A.data) >= cut) & (cut > 0)
+    S = sp.csr_matrix(
+        (np.ones(int(mask.sum())), A.indices[mask].astype(np.int32),
+         _mask_indptr(A, mask)), shape=A.shape)
+    return mask, S

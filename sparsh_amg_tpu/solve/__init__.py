@@ -1,0 +1,16 @@
+"""Device solve phase (SURVEY.md §1 L4-L5).
+
+Smoothers, V/W/F cycle drivers, coarsest-level solver, and Krylov wrappers
+(PCG/BiCGStab), all jit-compiled over a statically-shaped device hierarchy.
+"""
+from .device import DeviceLevel, DeviceHierarchy, to_device
+from .smoothers import jacobi, l1_jacobi, chebyshev
+from .cycles import make_cycle
+from .krylov import pcg, bicgstab
+from .solver import AMGSolver, solve
+
+__all__ = [
+    "DeviceLevel", "DeviceHierarchy", "to_device",
+    "jacobi", "l1_jacobi", "chebyshev",
+    "make_cycle", "pcg", "bicgstab", "AMGSolver", "solve",
+]

@@ -1,0 +1,60 @@
+"""Multigrid cycle drivers (SURVEY.md §2 C18, §3.3).
+
+V/W/F cycles are unrolled over the (static) hierarchy at trace time: the
+whole cycle becomes one XLA computation with no data-dependent control flow.
+The recursion mirrors the reference's `vcycle(l, b, x)` exactly; W recurses
+twice, F recurses F-then-V (the classical definitions).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.formats import spmv
+from .smoothers import smooth
+
+
+def _coarse_solve(level, b):
+    """Dense inverse on the MXU (reference: LAPACK LU on the coarsest level,
+    SURVEY.md C17)."""
+    return level.coarse_inv @ b
+
+
+def _cycle(levels, l, b, x, params, shape):
+    lev = levels[l]
+    if lev.P is None or l == len(levels) - 1:
+        return _coarse_solve(lev, b)
+    # pre-smooth (x may be a known-zero start)
+    zero0 = x is None
+    x = smooth(lev, b, jnp.zeros_like(b) if zero0 else x, params,
+               zero_start=zero0, sweeps=params.nu1)
+    # coarse-grid correction
+    r = b - spmv(lev.A, x)
+    rc = spmv(lev.R, r)
+    if shape == "V":
+        ec = _cycle(levels, l + 1, rc, None, params, "V")
+    elif shape == "W":
+        ec = _cycle(levels, l + 1, rc, None, params, "W")
+        ec = _cycle(levels, l + 1, rc, ec, params, "W")
+    elif shape == "F":
+        ec = _cycle(levels, l + 1, rc, None, params, "F")
+        ec = _cycle(levels, l + 1, rc, ec, params, "V")
+    else:
+        raise ValueError(f"unknown cycle {shape!r}")
+    x = x + spmv(lev.P, ec)
+    # post-smooth
+    x = smooth(lev, b, x, params, zero_start=False, sweeps=params.nu2)
+    return x
+
+
+def make_cycle(params):
+    """Return cycle(levels, b [, x0]) applying one AMG cycle as M^-1 b.
+
+    `levels` is the DeviceHierarchy.levels tuple (a pytree argument, so the
+    jitted cycle is reusable across hierarchies of identical structure).
+    """
+    shape = params.cycle
+
+    def cycle(levels, b, x0=None):
+        return _cycle(levels, 0, b, x0, params, shape)
+
+    return cycle

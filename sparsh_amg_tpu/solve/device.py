@@ -1,0 +1,119 @@
+"""Frozen device hierarchy (SURVEY.md §2 C23: the reference copies its CPU
+hierarchy to the GPU once before the solve; here the host hierarchy is
+frozen into padded device layouts and uploaded once).
+
+Each level carries: the operator in a DIA/ELL layout, inverse-diagonal and
+l1-inverse-diagonal vectors for the smoothers, a lambda_max estimate of
+D^-1 A for Chebyshev, the prolongator/restrictor in ELL, and — on the
+coarsest level — a dense inverse applied on the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..params import AMGParams
+from ..setup.hierarchy import Hierarchy
+from ..ops.formats import csr_to_device, csr_to_ell, _round_up
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A", "dinv", "l1_dinv", "lam_max", "P", "R",
+                      "coarse_inv"],
+         meta_fields=["n"])
+@dataclasses.dataclass(frozen=True)
+class DeviceLevel:
+    A: object                 # DiaMatrix | EllMatrix, (n_pad x n_pad)
+    dinv: jax.Array           # (n_pad,) 1/a_ii, 0 in padding
+    l1_dinv: jax.Array        # (n_pad,) 1/(a_ii + sum|offdiag|), 0 in padding
+    lam_max: jax.Array        # scalar: power-iteration estimate of lam_max(D^-1 A)
+    P: object | None          # EllMatrix (n_pad x nc_pad) or None on coarsest
+    R: object | None          # EllMatrix (nc_pad x n_pad) or None on coarsest
+    coarse_inv: jax.Array | None  # dense (n_pad x n_pad) inverse on coarsest
+    n: int                    # logical size
+
+    @property
+    def n_pad(self) -> int:
+        return self.dinv.shape[0]
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["levels"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class DeviceHierarchy:
+    levels: tuple  # tuple[DeviceLevel, ...]
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+
+def _lambda_max_dinv_a(A: sp.csr_matrix, iters: int = 20,
+                       seed: int = 0) -> float:
+    """Host power iteration for lambda_max(D^-1 A) (Chebyshev upper bound)."""
+    d = A.diagonal()
+    dinv = np.where(d != 0, 1.0 / d, 0.0)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(A.shape[0])
+    v /= np.linalg.norm(v) + 1e-30
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * (A @ v)
+        lam = float(np.linalg.norm(w))
+        if lam == 0.0:
+            return 1.0
+        v = w / lam
+    return lam * 1.05  # small safety margin
+
+
+def to_device(hier: Hierarchy, params: AMGParams | None = None,
+              dtype=None) -> DeviceHierarchy:
+    params = params or hier.params
+    dtype = dtype or jnp.dtype(params.dtype)
+    levels = []
+    for li, lev in enumerate(hier.levels):
+        A = lev.A
+        n = A.shape[0]
+        is_coarsest = li == len(hier.levels) - 1 or lev.P is None
+        dev_A = csr_to_device(A, dtype=dtype, prefer_dia=params.prefer_dia,
+                              dia_max_bands=params.dia_max_bands)
+        n_pad = dev_A.n_pad
+        d = A.diagonal()
+        dinv = np.zeros(n_pad)
+        dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
+        # l1-Jacobi diagonal: a_ii + sum_j|a_ij| off-diagonal
+        absrow = np.abs(A).sum(axis=1).A1 if hasattr(
+            np.abs(A).sum(axis=1), "A1") else np.asarray(
+            np.abs(A).sum(axis=1)).ravel()
+        l1d = d + (absrow - np.abs(d))
+        l1_dinv = np.zeros(n_pad)
+        l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
+        lam = _lambda_max_dinv_a(A) if not is_coarsest or n > 1 else 1.0
+
+        P = R = coarse_inv = None
+        if not is_coarsest:
+            nc = lev.P.shape[1]
+            P = csr_to_ell(lev.P, dtype=dtype)
+            R = csr_to_ell(lev.R, dtype=dtype)
+            # pad P's row count to this level's n_pad and R's to coarse pad:
+            # csr_to_ell already pads rows to a multiple of 128; both levels
+            # use the same multiple so shapes line up with vectors.
+            assert P.n_pad >= n and R.n_cols <= n_pad
+        else:
+            dense = np.zeros((n_pad, n_pad))
+            dense[:n, :n] = np.linalg.inv(A.toarray())
+            coarse_inv = jnp.asarray(dense, dtype=dtype)
+
+        levels.append(DeviceLevel(
+            A=dev_A,
+            dinv=jnp.asarray(dinv, dtype=dtype),
+            l1_dinv=jnp.asarray(l1_dinv, dtype=dtype),
+            lam_max=jnp.asarray(lam, dtype=dtype),
+            P=P, R=R, coarse_inv=coarse_inv, n=n,
+        ))
+    return DeviceHierarchy(levels=tuple(levels))

@@ -1,0 +1,82 @@
+"""Smoothers (SURVEY.md §2 C14-C16).
+
+The reference ships weighted Jacobi, hybrid Gauss-Seidel, and Chebyshev.
+True Gauss-Seidel is sequential and has no efficient TPU form; the standard
+TPU-native replacements (SURVEY.md §7 hard-part #6, PAPERS.md two-stage GS)
+are l1-Jacobi (convergent without damping for any SPD M-matrix row scaling)
+and Chebyshev (pure SpMV recurrence — ideal for the TPU's static dataflow).
+All smoothers preserve zero padding because dinv/l1_dinv are zero there.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.formats import spmv
+
+
+def jacobi(level, b, x, sweeps: int, omega: float, zero_start: bool = False):
+    """Weighted Jacobi: x <- x + omega D^-1 (b - A x)."""
+    if sweeps <= 0:
+        return x
+    if zero_start:
+        x = omega * level.dinv * b
+        sweeps -= 1
+    for _ in range(sweeps):
+        x = x + omega * level.dinv * (b - spmv(level.A, x))
+    return x
+
+
+def l1_jacobi(level, b, x, sweeps: int, zero_start: bool = False):
+    """l1-Jacobi (hybrid-GS replacement): x <- x + D_l1^-1 (b - A x),
+    D_l1 = diag(a_ii + sum_{j!=i} |a_ij|).  Unconditionally convergent
+    smoother for SPD A (Baker, Falgout, Kolev, Yang 2011)."""
+    if sweeps <= 0:
+        return x
+    if zero_start:
+        x = level.l1_dinv * b
+        sweeps -= 1
+    for _ in range(sweeps):
+        x = x + level.l1_dinv * (b - spmv(level.A, x))
+    return x
+
+
+def chebyshev(level, b, x, degree: int, lower_frac: float,
+              zero_start: bool = False):
+    """Chebyshev polynomial smoother of the given degree on D^-1 A, with
+    eigenvalue window [lower_frac * lam_max, lam_max] (hypre/PyAMG
+    convention).  degree SpMVs, no dot products — TPU-ideal."""
+    if degree <= 0:
+        return x
+    lmax = level.lam_max
+    lmin = lower_frac * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    if zero_start:
+        r = level.dinv * b
+    else:
+        r = level.dinv * (b - spmv(level.A, x))
+    d = r / theta
+    for _ in range(degree - 1):
+        x = x + d
+        r = r - level.dinv * spmv(level.A, d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return x + d
+
+
+def smooth(level, b, x, params, zero_start: bool = False, sweeps: int = None):
+    """Dispatch on params.smoother."""
+    name = params.smoother
+    if name == "jacobi":
+        nu = sweeps if sweeps is not None else params.nu1
+        return jacobi(level, b, x, nu, params.jacobi_omega, zero_start)
+    if name == "l1jacobi":
+        nu = sweeps if sweeps is not None else params.nu1
+        return l1_jacobi(level, b, x, nu, zero_start)
+    if name == "chebyshev":
+        return chebyshev(level, b, x, params.cheby_degree,
+                         params.cheby_lower_frac, zero_start)
+    raise ValueError(f"unknown smoother {name!r}")

@@ -1,0 +1,65 @@
+"""Test-problem generator properties (SURVEY.md §4.1)."""
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from sparsh_amg_tpu.models import (poisson2d, poisson3d, anisotropic2d,
+                                   elasticity2d, get_problem)
+
+
+def is_symmetric(A, tol=1e-12):
+    d = (A - A.T).tocoo()
+    return len(d.data) == 0 or np.abs(d.data).max() <= tol
+
+
+def test_poisson2d_stencil():
+    A = poisson2d(4)
+    assert A.shape == (16, 16)
+    Ad = A.toarray()
+    # interior point (1,1) -> index 5: 4 on diag, -1 at N/S/E/W
+    assert Ad[5, 5] == 4
+    assert Ad[5, 4] == Ad[5, 6] == Ad[5, 1] == Ad[5, 9] == -1
+    assert is_symmetric(A)
+
+
+def test_poisson2d_spd():
+    A = poisson2d(12)
+    w = spla.eigsh(A.asfptype(), k=1, which="SA",
+                   return_eigenvectors=False)
+    assert w[0] > 0
+
+
+def test_poisson3d_stencil():
+    A = poisson3d(3)
+    assert A.shape == (27, 27)
+    Ad = A.toarray()
+    c = 13  # center point
+    assert Ad[c, c] == 6
+    assert is_symmetric(A)
+    # 6 neighbours at -1
+    assert (Ad[c] == -1).sum() == 6
+
+
+def test_anisotropic_properties():
+    A = anisotropic2d(8, epsilon=1e-3, angle_deg=45.0)
+    assert A.shape == (64, 64)
+    assert is_symmetric(A, tol=1e-12)
+    # rows away from boundary sum to ~0 (conservation)
+    rs = np.asarray(A.sum(axis=1)).ravel()
+    interior = rs[A.indptr[1:] - A.indptr[:-1] == 9]
+    assert np.abs(interior).max() < 1e-12
+
+
+def test_elasticity_spd():
+    A = elasticity2d(6)
+    assert is_symmetric(A, tol=1e-8 * abs(A).max())
+    w = spla.eigsh(A.asfptype(), k=1, which="SA",
+                   return_eigenvectors=False)
+    assert w[0] > 0
+
+
+def test_get_problem_sizes():
+    p = get_problem("poisson2d", n=10_000)
+    assert abs(p.n - 10_000) / 10_000 < 0.05
+    p = get_problem("poisson3d", n=8_000)
+    assert p.n == 8000

@@ -1,0 +1,179 @@
+"""Setup-phase oracles (SURVEY.md §4.1): strength, splitting, interpolation,
+Galerkin against hand-checkable invariants, plus native-vs-numpy equality."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from sparsh_amg_tpu.models import poisson2d, poisson3d, anisotropic2d
+from sparsh_amg_tpu.params import AMGParams
+from sparsh_amg_tpu.setup import (amg_setup, classical_strength,
+                                  symmetric_strength, rs_splitting,
+                                  pmis_splitting, greedy_aggregation,
+                                  tentative_prolongator, direct_interpolation)
+from sparsh_amg_tpu.setup import splitting as spl
+from sparsh_amg_tpu.setup import strength as stg
+from sparsh_amg_tpu.setup import interp as itp
+from sparsh_amg_tpu._native import get_lib
+
+
+def test_native_compiles():
+    assert get_lib() is not None, "native amg_core failed to compile"
+
+
+def test_classical_strength_poisson():
+    A = poisson2d(5)
+    mask, S = classical_strength(A, theta=0.25)
+    # every off-diagonal of Poisson is -1 = max off-diag -> all strong
+    rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+    offdiag = A.indices != rows
+    assert (mask == offdiag).all()
+    assert S.nnz == int(offdiag.sum())
+
+
+def test_classical_strength_theta_filters():
+    # anisotropic: strong only along the dominant direction for axis-aligned
+    A = sp.csr_matrix(np.array([
+        [2.002, -1.0, -0.001],
+        [-1.0, 2.002, -1.0],
+        [-0.001, -1.0, 2.002]]))
+    mask, S = classical_strength(A, theta=0.25)
+    # the -0.001 couplings are weak
+    assert S[0, 1] == 1 and S[0, 2] == 0
+
+
+def test_strength_native_matches_numpy():
+    A = anisotropic2d(10, epsilon=1e-2)
+    lib = get_lib()
+    assert lib is not None
+    mask_nat, _ = classical_strength(A, 0.25)
+    # force the numpy path
+    import sparsh_amg_tpu._native as nat
+    saved = nat._LIB
+    nat._LIB = None
+    try:
+        mask_np, _ = classical_strength(A, 0.25)
+    finally:
+        nat._LIB = saved
+    assert (mask_nat == mask_np).all()
+
+    m1, _ = symmetric_strength(A, 0.25)
+    nat._LIB = None
+    try:
+        m2, _ = symmetric_strength(A, 0.25)
+    finally:
+        nat._LIB = saved
+    assert (m1 == m2).all()
+
+
+def test_rs_splitting_valid():
+    A = poisson2d(16)
+    mask, S = classical_strength(A, 0.25)
+    cf = rs_splitting(S)
+    assert set(np.unique(cf)) <= {0, 1}
+    n_c = (cf == 1).sum()
+    # 2D Poisson full coarsening: roughly half the points become C
+    assert 0.2 * A.shape[0] < n_c < 0.75 * A.shape[0]
+    # every F point strongly depends on at least one C point
+    Sp, Si = S.indptr, S.indices
+    for i in np.where(cf == 0)[0]:
+        assert (cf[Si[Sp[i]:Sp[i + 1]]] == 1).any()
+
+
+def test_rs_native_matches_python_small():
+    A = poisson2d(8)
+    _, S = classical_strength(A, 0.25)
+    cf_nat = rs_splitting(S)
+    Sp, Si, STp, STi = spl._graph_arrays(S)
+    cf_py = spl._rs_python(S.shape[0], Sp, Si, STp, STi,
+                           np.empty(S.shape[0], dtype=np.int8), True)
+    # identical tie-breaking is not guaranteed; check both are valid covers
+    for cf in (cf_nat, cf_py):
+        for i in np.where(cf == 0)[0]:
+            assert (cf[Si[Sp[i]:Sp[i + 1]]] == 1).any()
+
+
+def test_pmis_splitting_valid():
+    A = poisson2d(16)
+    _, S = classical_strength(A, 0.25)
+    cf = pmis_splitting(S)
+    Sp, Si = S.indptr, S.indices
+    # C points form an independent set in the symmetrized strong graph is
+    # NOT required after the F-assignment sweep; but F coverage is:
+    for i in np.where(cf == 0)[0]:
+        nb = Si[Sp[i]:Sp[i + 1]]
+        if len(nb):
+            assert (cf[nb] == 1).any()
+
+
+def test_aggregation_covers_all_points():
+    A = poisson2d(16)
+    _, S = symmetric_strength(A, 0.25)
+    agg, n_agg = greedy_aggregation(S)
+    assert (agg >= 0).all()
+    assert agg.max() == n_agg - 1
+    P = tentative_prolongator(agg, n_agg)
+    assert (np.asarray(P.sum(axis=1)).ravel() == 1).all()
+
+
+def test_direct_interp_rowsums():
+    """P rows sum to ~1 for an M-matrix with zero row sums (constant
+    preservation — the defining property of classical interpolation)."""
+    # use a pure-Neumann-like interior: 1D Laplacian rows with zero sums
+    n = 32
+    e = np.ones(n)
+    A = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1]).tocsr()
+    # make row sums exactly zero (periodic-ish ends)
+    A = A.tolil()
+    A[0, n - 1] = -1.0
+    A[n - 1, 0] = -1.0
+    A = A.tocsr()
+    mask, S = classical_strength(A, 0.25)
+    cf = rs_splitting(S)
+    P = direct_interpolation(A, mask, cf)
+    rs = np.asarray(P.sum(axis=1)).ravel()
+    assert np.allclose(rs, 1.0, atol=1e-12)
+
+
+def test_direct_interp_native_matches_numpy():
+    A = anisotropic2d(12, epsilon=1e-2)
+    mask, S = classical_strength(A, 0.25)
+    cf = rs_splitting(S)
+    P_nat = direct_interpolation(A, mask, cf)
+    import sparsh_amg_tpu._native as nat
+    saved = nat._LIB
+    nat._LIB = None
+    try:
+        P_np = direct_interpolation(A, mask, cf)
+    finally:
+        nat._LIB = saved
+    assert abs(P_nat - P_np).max() < 1e-14
+
+
+def test_galerkin_spd_preserved():
+    A = poisson2d(20)
+    hier = amg_setup(A, AMGParams(coarse_size=20))
+    assert hier.n_levels >= 3
+    for lev in hier.levels[1:]:
+        Ac = lev.A
+        asym = abs(Ac - Ac.T).max()
+        assert asym < 1e-10
+        # diagonal positive
+        assert (Ac.diagonal() > 0).all()
+
+
+def test_hierarchy_shrinks():
+    A = poisson2d(32)
+    hier = amg_setup(A, AMGParams(coarse_size=16))
+    ns = [l.n for l in hier.levels]
+    assert all(ns[i + 1] < ns[i] for i in range(len(ns) - 1))
+    assert ns[-1] <= 16 or hier.n_levels == 25
+    assert hier.operator_complexity() < 3.5
+
+
+def test_hierarchy_aggregation():
+    A = poisson2d(32)
+    hier = amg_setup(A, AMGParams(coarsening="aggregation",
+                                  interpolation="smoothed", coarse_size=16))
+    assert hier.n_levels >= 2
+    ns = [l.n for l in hier.levels]
+    assert ns[1] < ns[0] / 2

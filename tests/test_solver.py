@@ -1,0 +1,121 @@
+"""End-to-end convergence tests (SURVEY.md §4.2, BASELINE configs 0/2).
+
+The defining AMG property: grid-size-independent iteration counts, ~10-25
+PCG iterations to 1e-8 on Poisson.
+"""
+import numpy as np
+import pytest
+
+from sparsh_amg_tpu import AMGParams, KrylovParams, AMGSolver, solve
+from sparsh_amg_tpu.models import poisson2d, poisson3d, anisotropic2d, \
+    elasticity2d
+
+
+def _solve_poisson2d(nx, **kw):
+    A = poisson2d(nx)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+    return solve(A, b, **kw), A, b
+
+
+def test_poisson2d_converges_1e8():
+    res, A, b = _solve_poisson2d(32)
+    assert res.converged, res
+    # verify the returned residual claim independently in f64
+    r = b - A @ res.x
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_iteration_counts_grid_independent():
+    iters = []
+    for nx in (16, 32, 64):
+        res, _, _ = _solve_poisson2d(nx)
+        assert res.converged
+        iters.append(res.iterations)
+    # iteration count must stay flat (allow mild growth)
+    assert iters[-1] <= iters[0] + 8, iters
+    assert iters[-1] <= 40, iters
+
+
+def test_poisson3d_chebyshev():
+    A = poisson3d(12)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(A.shape[0])
+    res = solve(A, b, AMGParams(smoother="chebyshev"))
+    assert res.converged, res
+    r = b - A @ res.x
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_l1jacobi_smoother():
+    res, A, b = _solve_poisson2d(32, params=AMGParams(smoother="l1jacobi"))
+    assert res.converged, res
+
+
+def test_w_cycle():
+    res, A, b = _solve_poisson2d(32, params=AMGParams(cycle="W"))
+    assert res.converged
+    assert res.iterations <= 40
+
+
+def test_f_cycle():
+    res, A, b = _solve_poisson2d(32, params=AMGParams(cycle="F"))
+    assert res.converged
+
+
+def test_anisotropic_aggregation_wcycle_bicgstab():
+    """BASELINE config 2: anisotropic diffusion, aggregation coarsening,
+    W-cycle + BiCGStab."""
+    A = anisotropic2d(32, epsilon=1e-3, angle_deg=45.0)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(A.shape[0])
+    res = solve(A, b,
+                AMGParams(coarsening="aggregation",
+                          interpolation="smoothed", cycle="W",
+                          smoother="l1jacobi"),
+                KrylovParams(method="bicgstab", maxiter=300))
+    assert res.converged, res
+    r = b - A @ res.x
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_elasticity_converges():
+    A = elasticity2d(12)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(A.shape[0])
+    res = solve(A, b, AMGParams(coarsening="aggregation",
+                                interpolation="smoothed",
+                                smoother="chebyshev"),
+                KrylovParams(maxiter=400))
+    assert res.converged, res
+
+
+def test_pmis_coarsening():
+    res, A, b = _solve_poisson2d(32, params=AMGParams(coarsening="pmis"))
+    assert res.converged, res
+
+
+def test_solver_reuse():
+    """Setup once, solve many right-hand sides (reference: hierarchy reuse)."""
+    A = poisson2d(24)
+    solver = AMGSolver(A)
+    rng = np.random.default_rng(4)
+    for seed in range(2):
+        b = rng.standard_normal(A.shape[0])
+        res = solver.solve(b)
+        assert res.converged
+
+
+def test_zero_rhs():
+    A = poisson2d(8)
+    res = solve(A, np.zeros(A.shape[0]))
+    assert res.converged
+    assert np.all(res.x == 0)
+
+
+def test_no_refine_path():
+    res, A, b = _solve_poisson2d(
+        32, krylov=KrylovParams(refine=False, tol=1e-5))
+    assert res.converged
+    r = b - A @ res.x
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 2e-5
