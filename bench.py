@@ -1,0 +1,118 @@
+"""Driver benchmark: single chip, flagship config (BASELINE.json configs[1]:
+3-D 7-point Poisson, V-cycle + Chebyshev smoother, AMG-PCG to 1e-8).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The headline metric is effective SpMV throughput during the solve phase
+(nnz processed per second across every SpMV the solve performs), compared
+against the measured speed-of-light for this chip: HBM bandwidth divided
+by the bytes each nnz must move in the DIA layout (BASELINE.json:2 and
+SURVEY.md §6 define the acceptance metric this way).
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure_hbm_bw(jnp, jax, nbytes: int = 1 << 28) -> float:
+    """Measured copy bandwidth (read+write) in bytes/s via y = x * a."""
+    n = nbytes // 4
+    x = jnp.ones((n,), dtype=jnp.float32)
+    f = jax.jit(lambda v: v * 1.0000001)
+    f(x).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 10
+    y = x
+    for _ in range(reps):
+        y = f(y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return 2 * n * 4 / dt  # read + write
+
+
+def spmv_equiv_per_iter(params) -> float:
+    """SpMV-equivalents (in fine-level nnz units) per PCG iteration.
+
+    Counted from the cycle structure: per level, nu1+nu2 smoother SpMVs
+    (Chebyshev degree d counts d), 1 residual SpMV, restriction +
+    prolongation (~0.3 each in nnz terms), with geometric level decay
+    ~1/8 in 3-D; plus the Krylov q = A p.  Good to ~10% — used only for
+    the throughput metric, not correctness.
+    """
+    if params.smoother == "chebyshev":
+        sm = params.cheby_degree * 2  # pre+post
+    else:
+        sm = params.nu1 + params.nu2
+    per_level = sm + 1 + 0.6
+    level_sum = per_level / (1 - 1 / 8)  # sum over geometric levels
+    return level_sum + 1.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=192,
+                    help="grid points per side (n^3 unknowns)")
+    ap.add_argument("--tol", type=float, default=1e-8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from sparsh_amg_tpu.models.poisson import poisson3d
+    from sparsh_amg_tpu.params import AMGParams, KrylovParams
+    from sparsh_amg_tpu.solve.solver import AMGSolver
+
+    nside = args.n
+    n = nside ** 3
+    t0 = time.perf_counter()
+    A = poisson3d(nside)
+    gen_s = time.perf_counter() - t0
+
+    params = AMGParams(smoother="chebyshev", cycle="V")
+    krylov = KrylovParams(method="cg", tol=args.tol)
+    solver = AMGSolver(A, params, krylov)
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+
+    # warmup (compile)
+    solver.solve(b, tol=1e-2, maxiter=3)
+    res = solver.solve(b)
+
+    nnz = A.nnz
+    spmv_eq = spmv_equiv_per_iter(params)
+    eff_nnz = nnz * spmv_eq * max(res.iterations, 1)
+    nnz_per_s = eff_nnz / max(res.solve_time, 1e-12)
+
+    bw = measure_hbm_bw(jnp, jax)
+    # DIA 7-band fp32: 7 band streams + ~1 x read + 1 y write per row
+    bytes_per_nnz = (7 + 1 + 1) * 4 / 7
+    sol_nnz_per_s = bw / bytes_per_nnz
+
+    out = {
+        "metric": "amg_pcg_poisson3d_spmv_throughput",
+        "value": nnz_per_s,
+        "unit": "nnz/s",
+        "vs_baseline": nnz_per_s / sol_nnz_per_s,
+        "n": n,
+        "nnz": int(nnz),
+        "iterations": res.iterations,
+        "refine_passes": res.refine_passes,
+        "converged": bool(res.converged),
+        "relres": res.relres,
+        "solve_s": res.solve_time,
+        "setup_s": res.setup_time,
+        "problem_gen_s": gen_s,
+        "levels": solver.hierarchy.n_levels,
+        "operator_complexity": solver.hierarchy.operator_complexity(),
+        "hbm_bw_GBs": bw / 1e9,
+        "speed_of_light_nnz_per_s": sol_nnz_per_s,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Distributed device hierarchy (SURVEY.md §2 C21/C23/C24).
+
+The reference's multi-GPU mode keeps every AMG level row-partitioned across
+MPI ranks, with per-level comm packages and idle ranks on tiny coarse
+grids.  Here every level is row-partitioned over the same 1-D mesh
+(Partition with identical padded blocks), smoother vectors are stacked with
+a leading shard axis, and the coarsest level is *agglomerated*: its dense
+inverse is pre-split row-wise so each shard computes its slice of
+``A_c^-1 (all_gather r_c)`` — the TPU-native form of the reference's
+"gather small coarse grids onto fewer processors" strategy (C24).
+
+All stacked arrays use leading axis nd; ``local(tree)`` (= leaf[0] inside
+shard_map) turns the stacked hierarchy into the per-shard one.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..params import AMGParams
+from ..ops import df64
+from ..setup.hierarchy import Hierarchy
+from ..solve.device import _lambda_max_dinv_a
+from .partition import Partition
+from .dist import DistDia, DistEll, csr_to_dist
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A_hi", "lo"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class DistDf64:
+    """Distributed df64 operator: A = A_hi + lo, lo sharing A_hi's layout
+    (see ops/df64_ops.py for the serial twin)."""
+    A_hi: object              # DistDia | DistEll (fp32)
+    lo: jax.Array             # same shape as A_hi.bands / A_hi.vals
+
+    def spmv_df64(self, x_hi, x_lo):
+        A = self.A_hi
+        from .dist import halo_exchange
+        if isinstance(A, DistDia):
+            eh = halo_exchange(x_hi, A.h, A.nd, A.axis)
+            el = halo_exchange(x_lo, A.h, A.nd, A.axis)
+            n_loc = A.n_loc
+            y_hi = jnp.zeros(n_loc, dtype=x_hi.dtype)
+            y_lo = jnp.zeros(n_loc, dtype=x_hi.dtype)
+            for d, off in enumerate(A.offsets):
+                sh = jax.lax.dynamic_slice(eh, (A.h + off,), (n_loc,))
+                sl = jax.lax.dynamic_slice(el, (A.h + off,), (n_loc,))
+                p_hi, p_lo = df64.mul(A.bands[d], self.lo[d], sh, sl)
+                y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
+            return y_hi, y_lo
+        assert isinstance(A, DistEll)
+        if A.mode == "halo":
+            sh_src = halo_exchange(x_hi, A.h, A.nd, A.axis)
+            sl_src = halo_exchange(x_lo, A.h, A.nd, A.axis)
+        else:
+            sh_src = jax.lax.all_gather(x_hi, A.axis, tiled=True)
+            sl_src = jax.lax.all_gather(x_lo, A.axis, tiled=True)
+        y_hi = jnp.zeros(A.n_loc, dtype=x_hi.dtype)
+        y_lo = jnp.zeros(A.n_loc, dtype=x_hi.dtype)
+        for k in range(A.k):
+            gh = sh_src.at[A.cols[k]].get(mode="promise_in_bounds")
+            gl = sl_src.at[A.cols[k]].get(mode="promise_in_bounds")
+            p_hi, p_lo = df64.mul(A.vals[k], self.lo[k], gh, gl)
+            y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
+        return y_hi, y_lo
+
+    def residual_df64(self, b_hi, b_lo, x_hi, x_lo):
+        ax_hi, ax_lo = self.spmv_df64(x_hi, x_lo)
+        return df64.sub(b_hi, b_lo, ax_hi, ax_lo)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A", "dinv", "l1_dinv", "lam_max", "P", "R",
+                      "coarse_inv"],
+         meta_fields=["n", "axis"])
+@dataclasses.dataclass(frozen=True)
+class DistLevel:
+    """One distributed level.  Field names mirror solve.device.DeviceLevel
+    so the serial smoothers/cycles apply unchanged inside shard_map."""
+    A: object                  # DistDia | DistEll
+    dinv: jax.Array            # (nd, n_loc) stacked / (n_loc,) local
+    l1_dinv: jax.Array
+    lam_max: jax.Array         # (nd,) stacked / scalar local
+    P: object | None           # DistEll coarse->fine (None on coarsest)
+    R: object | None           # DistEll fine->coarse
+    coarse_inv: jax.Array | None  # (nd, n_loc, ncp) row-slice of A_c^-1
+    n: int
+    axis: str
+
+    def coarse_solve(self, b_loc: jax.Array) -> jax.Array:
+        """x_loc = (A_c^-1 b)_loc: all_gather b, multiply the local row
+        slice of the dense inverse on the MXU (reference C17 + C24
+        agglomeration)."""
+        b_full = jax.lax.all_gather(b_loc, self.axis, tiled=True)
+        return jnp.dot(self.coarse_inv, b_full,
+                       preferred_element_type=b_loc.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistHierarchy:
+    levels: tuple              # tuple[DistLevel, ...] (stacked arrays)
+    parts: tuple               # tuple[Partition, ...] per level
+    nd: int
+    axis: str
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+
+def local(tree):
+    """Stacked -> per-shard view inside shard_map (leading axis is 1)."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def _stack_vec(part: Partition, v: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(part.pad_vec(v), dtype=dtype)
+
+
+def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
+            dtype=None, axis: str = "rows") -> DistHierarchy:
+    """Freeze a host hierarchy into the distributed stacked layout."""
+    params = params or hier.params
+    dtype = dtype or jnp.dtype(params.dtype)
+    parts = [Partition.make(lev.A.shape[0], nd) for lev in hier.levels]
+    levels = []
+    for li, lev in enumerate(hier.levels):
+        A = lev.A
+        n = A.shape[0]
+        part = parts[li]
+        is_coarsest = li == len(hier.levels) - 1 or lev.P is None
+        dev_A = csr_to_dist(A, part, part, dtype=dtype, axis=axis,
+                            prefer_dia=params.prefer_dia,
+                            dia_max_bands=params.dia_max_bands)
+        d = A.diagonal()
+        dinv = _stack_vec(part, np.where(d != 0, 1.0 / d, 0.0), dtype)
+        absrow = np.asarray(np.abs(A).sum(axis=1)).ravel()
+        l1d = d + (absrow - np.abs(d))
+        l1_dinv = _stack_vec(part, np.where(l1d != 0, 1.0 / l1d, 0.0), dtype)
+        lam = _lambda_max_dinv_a(A) if not is_coarsest or n > 1 else 1.0
+        lam_max = jnp.full((nd,), lam, dtype=dtype)
+
+        P = R = coarse_inv = None
+        if not is_coarsest:
+            cpart = parts[li + 1]
+            P = csr_to_dist(lev.P, part, cpart, dtype=dtype, axis=axis,
+                            prefer_dia=False)
+            R = csr_to_dist(lev.R, cpart, part, dtype=dtype, axis=axis,
+                            prefer_dia=False)
+        else:
+            ncp = part.n_pad
+            dense = np.zeros((ncp, ncp))
+            dense[:n, :n] = np.linalg.inv(A.toarray())
+            coarse_inv = jnp.asarray(
+                dense.reshape(nd, part.n_loc, ncp), dtype=dtype)
+
+        levels.append(DistLevel(
+            A=dev_A, dinv=dinv, l1_dinv=l1_dinv, lam_max=lam_max,
+            P=P, R=R, coarse_inv=coarse_inv, n=n, axis=axis))
+    return DistHierarchy(levels=tuple(levels), parts=tuple(parts), nd=nd,
+                         axis=axis)
+
+
+def fine_df64(hier: Hierarchy, dist: DistHierarchy, params: AMGParams,
+              axis: str = "rows") -> DistDf64:
+    """df64 fine-level operator for distributed iterative refinement."""
+    A = hier.levels[0].A
+    part = dist.parts[0]
+    A_hi_host = A.copy()
+    A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
+    lo_host = A.copy()
+    lo_host.data = A.data - A_hi_host.data
+    A_hi = csr_to_dist(A_hi_host, part, part, dtype=jnp.float32, axis=axis,
+                       prefer_dia=params.prefer_dia,
+                       dia_max_bands=params.dia_max_bands)
+    lo_dev = csr_to_dist(lo_host, part, part, dtype=jnp.float32, axis=axis,
+                         prefer_dia=params.prefer_dia,
+                         dia_max_bands=params.dia_max_bands)
+    if isinstance(A_hi, DistDia):
+        assert isinstance(lo_dev, DistDia) and lo_dev.offsets == A_hi.offsets
+        return DistDf64(A_hi=A_hi, lo=lo_dev.bands)
+    assert isinstance(lo_dev, DistEll) and lo_dev.vals.shape == A_hi.vals.shape
+    return DistDf64(A_hi=A_hi, lo=lo_dev.vals)

@@ -1,0 +1,188 @@
+"""Distributed AMG-Krylov solver (SURVEY.md §2 C21/C24, M4).
+
+The reference's multi-rank driver: partition rows, build per-level comm
+packages at setup, run the whole AMG-PCG solve with halo exchanges and
+allreduces.  Here the full solve — V/W/F cycle preconditioner, Krylov
+loop, df64 iterative refinement — runs as ONE jitted `shard_map` program
+over a 1-D device mesh: halo `ppermute`s ride ICI, dots are `psum`s, the
+coarsest level agglomerates via `all_gather`.  The serial smoother /
+cycle / Krylov code is reused verbatim inside the shard_map body (the
+distributed operator types duck-type the device ones).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import AMGParams, KrylovParams
+from ..setup.hierarchy import amg_setup, Hierarchy
+from ..ops import df64
+from ..solve.cycles import make_cycle
+from ..solve.krylov import pcg, bicgstab
+from ..solve.solver import SolveResult
+from .dist import pdot
+from .hierarchy import to_dist, fine_df64, local, DistHierarchy
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+class DistAMGSolver:
+    """Multi-chip AMG-preconditioned Krylov solver.
+
+    >>> solver = DistAMGSolver(A, mesh=default_mesh())   # host CSR, float64
+    >>> res = solver.solve(b)
+    """
+
+    def __init__(self, A: sp.csr_matrix, mesh: Mesh | None = None,
+                 params: AMGParams | None = None,
+                 krylov: KrylovParams | None = None):
+        self.params = params or AMGParams()
+        self.krylov = krylov or KrylovParams()
+        self.mesh = mesh or default_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self.nd = self.mesh.devices.size
+        t0 = time.perf_counter()
+        A = A.tocsr()
+        self.A_host = A
+        self.n = A.shape[0]
+        self.hierarchy: Hierarchy = amg_setup(A, self.params)
+        self.dist: DistHierarchy = to_dist(self.hierarchy, self.nd,
+                                           self.params, axis=self.axis)
+        self.part = self.dist.parts[0]
+        self.A_df = fine_df64(self.hierarchy, self.dist, self.params,
+                              axis=self.axis)
+        sh = NamedSharding(self.mesh, P(self.axis))
+        self.levels = jax.device_put(self.dist.levels, sh)
+        self.A_df = jax.device_put(self.A_df, sh)
+        self._build_jitted()
+        self.setup_time = time.perf_counter() - t0
+
+    # -- jitted shard_map kernels ----------------------------------------
+    def _build_jitted(self):
+        cycle = make_cycle(self.params)
+        inner = pcg if self.krylov.method == "cg" else bicgstab
+        mesh, axis = self.mesh, self.axis
+        Pr, Pn = P(axis), P()
+
+        def shmap(body, in_specs, out_specs):
+            return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs)
+
+        def inner_solve(levels_st, b_st, tol, maxiter):
+            def body(levels_s, b_s, tol_s):
+                levels = local(levels_s)
+                b = b_s[0]
+                mv = lambda v: levels[0].A.spmv(v)
+                pc = lambda r: cycle(levels, r)
+                dotf = lambda x, y: pdot(x, y, axis)
+                x, iters, rel = inner(mv, pc, b, tol=tol_s, maxiter=maxiter,
+                                      dot_fn=dotf)
+                return x[None], iters, rel
+            return shmap(body, (Pr, Pr, Pn), (Pr, Pn, Pn))(
+                levels_st, b_st, tol)
+
+        self._inner_solve = jax.jit(inner_solve,
+                                    static_argnames=("maxiter",))
+
+        def refine_step(levels_st, Adf_st, b_hi, b_lo, x_hi, x_lo, tol,
+                        maxiter):
+            def body(levels_s, Adf_s, bh_s, bl_s, xh_s, xl_s, tol_s):
+                levels = local(levels_s)
+                Adf = local(Adf_s)
+                bh, bl, xh, xl = bh_s[0], bl_s[0], xh_s[0], xl_s[0]
+                r_hi, r_lo = Adf.residual_df64(bh, bl, xh, xl)
+                mv = lambda v: levels[0].A.spmv(v)
+                pc = lambda r: cycle(levels, r)
+                dotf = lambda x, y: pdot(x, y, axis)
+                d, iters, _ = inner(mv, pc, r_hi, tol=tol_s, maxiter=maxiter,
+                                    dot_fn=dotf)
+                xh, xl = df64.add(xh, xl, d, jnp.zeros_like(d))
+                return xh[None], xl[None], iters
+            return shmap(body, (Pr,) * 6 + (Pn,), (Pr, Pr, Pn))(
+                levels_st, Adf_st, b_hi, b_lo, x_hi, x_lo, tol)
+
+        self._refine_step = jax.jit(refine_step,
+                                    static_argnames=("maxiter",))
+
+        def true_resnorm(Adf_st, b_hi, b_lo, x_hi, x_lo):
+            def body(Adf_s, bh_s, bl_s, xh_s, xl_s):
+                Adf = local(Adf_s)
+                r_hi, r_lo = Adf.residual_df64(bh_s[0], bl_s[0], xh_s[0],
+                                               xl_s[0])
+                return pdot(r_hi, r_hi, axis)
+            return shmap(body, (Pr,) * 5, Pn)(Adf_st, b_hi, b_lo, x_hi, x_lo)
+
+        self._true_resnorm = jax.jit(true_resnorm)
+
+    # -- helpers ----------------------------------------------------------
+    def _put(self, v_np: np.ndarray) -> jax.Array:
+        return jax.device_put(
+            jnp.asarray(v_np, dtype=jnp.float32),
+            NamedSharding(self.mesh, P(self.axis)))
+
+    # -- public API --------------------------------------------------------
+    def solve(self, b: np.ndarray, tol: float | None = None,
+              maxiter: int | None = None) -> SolveResult:
+        kr = self.krylov
+        tol = kr.tol if tol is None else tol
+        maxiter = kr.maxiter if maxiter is None else maxiter
+        t0 = time.perf_counter()
+        b = np.asarray(b, dtype=np.float64)
+        bpad = self.part.pad_vec(b)
+        bnorm = float(np.linalg.norm(bpad))
+        if bnorm == 0.0:
+            return SolveResult(np.zeros(self.n), True, 0.0, 0, 0,
+                               self.setup_time, 0.0, [])
+        b_hi_np, b_lo_np = df64.from_f64_np(bpad)
+        b_hi, b_lo = self._put(b_hi_np), self._put(b_lo_np)
+        history = []
+        total_iters = 0
+
+        if not kr.refine:
+            x, iters, relres = self._inner_solve(self.levels, b_hi, tol,
+                                                 maxiter)
+            x = self.part.unpad_vec(np.asarray(jax.device_get(x),
+                                               dtype=np.float64))
+            relres = float(relres)
+            return SolveResult(x, relres <= tol, relres, int(iters), 1,
+                               self.setup_time, time.perf_counter() - t0,
+                               [(int(iters), relres)])
+
+        zeros = np.zeros((self.nd, self.part.n_loc), dtype=np.float32)
+        x_hi, x_lo = self._put(zeros), self._put(zeros)
+        converged = False
+        passes = 0
+        relres = 1.0
+        for _ in range(kr.max_refine):
+            budget = maxiter - total_iters
+            if budget <= 0:
+                break
+            x_hi, x_lo, iters = self._refine_step(
+                self.levels, self.A_df, b_hi, b_lo, x_hi, x_lo,
+                max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1), maxiter)
+            passes += 1
+            total_iters += int(iters)
+            rnsq = float(self._true_resnorm(self.A_df, b_hi, b_lo,
+                                            x_hi, x_lo))
+            relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
+            history.append((int(iters), relres))
+            if relres <= tol:
+                converged = True
+                break
+        x = df64.to_f64_np(np.asarray(jax.device_get(x_hi)),
+                           np.asarray(jax.device_get(x_lo)))
+        x = self.part.unpad_vec(x)
+        return SolveResult(x, converged, relres, total_iters, passes,
+                           self.setup_time, time.perf_counter() - t0,
+                           history)

@@ -13,16 +13,12 @@ from ..ops.formats import spmv
 from .smoothers import smooth
 
 
-def _coarse_solve(level, b):
-    """Dense inverse on the MXU (reference: LAPACK LU on the coarsest level,
-    SURVEY.md C17)."""
-    return level.coarse_inv @ b
-
-
 def _cycle(levels, l, b, x, params, shape):
     lev = levels[l]
     if lev.P is None or l == len(levels) - 1:
-        return _coarse_solve(lev, b)
+        # dense-inverse coarsest solve; DeviceLevel applies it locally,
+        # DistLevel agglomerates via all_gather first (C17/C24)
+        return lev.coarse_solve(b)
     # pre-smooth (x may be a known-zero start)
     zero0 = x is None
     x = smooth(lev, b, jnp.zeros_like(b) if zero0 else x, params,

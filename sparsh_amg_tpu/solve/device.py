@@ -41,6 +41,11 @@ class DeviceLevel:
     def n_pad(self) -> int:
         return self.dinv.shape[0]
 
+    def coarse_solve(self, b: jax.Array) -> jax.Array:
+        """Dense inverse applied on the MXU (reference: LAPACK LU on the
+        coarsest level, SURVEY.md C17)."""
+        return jnp.dot(self.coarse_inv, b, preferred_element_type=b.dtype)
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels"], meta_fields=[])

@@ -16,13 +16,15 @@ from ..ops.blas import dot
 
 
 def pcg(matvec, precond, b, tol: float, maxiter: int, x0=None,
-        compensated: bool = True):
+        compensated: bool = True, dot_fn=None):
     """Preconditioned conjugate gradient.
 
     matvec(x) -> A x;  precond(r) -> M^-1 r (one AMG cycle).  Stops when
-    ||r||/||b|| <= tol.  Returns (x, iters, relres).
+    ||r||/||b|| <= tol.  Returns (x, iters, relres).  `dot_fn` overrides
+    the inner product (distributed path: psum-reduced pdot, the
+    reference's MPI_Allreduce).
     """
-    _dot = partial(dot, compensated=compensated)
+    _dot = dot_fn or partial(dot, compensated=compensated)
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
@@ -60,10 +62,10 @@ def pcg(matvec, precond, b, tol: float, maxiter: int, x0=None,
 
 
 def bicgstab(matvec, precond, b, tol: float, maxiter: int, x0=None,
-             compensated: bool = True):
+             compensated: bool = True, dot_fn=None):
     """Preconditioned BiCGStab (Templates, Barrett et al. 1994) for
     nonsymmetric systems (reference config: anisotropic W-cycle+BiCGStab)."""
-    _dot = partial(dot, compensated=compensated)
+    _dot = dot_fn or partial(dot, compensated=compensated)
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b

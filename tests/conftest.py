@@ -8,7 +8,7 @@ TPU path is exercised by bench.py and __graft_entry__.py.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the TPU tunnel backend and
+# overrides jax_platforms to "axon,cpu"; pin it back so tests run on the
+# 8-virtual-device CPU backend regardless.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: first-op eager compiles cost ~1s each on this
 # CPU backend; caching makes repeat test runs fast.

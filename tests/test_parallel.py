@@ -1,0 +1,144 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh (SURVEY.md §4.4:
+the JAX-native 'fake backend' — shard_map halo exchange, psum dots, and
+agglomerated coarse solves exercised without a pod)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sparsh_amg_tpu.models.poisson import poisson2d, poisson3d
+from sparsh_amg_tpu.params import AMGParams, KrylovParams
+from sparsh_amg_tpu.parallel import (Partition, csr_to_dist, DistAMGSolver)
+from sparsh_amg_tpu.parallel.dist import DistDia, DistEll
+from sparsh_amg_tpu.parallel.solver import default_mesh
+from sparsh_amg_tpu.parallel.hierarchy import local
+from sparsh_amg_tpu.solve.solver import AMGSolver
+
+
+NDEV = len(jax.devices())
+
+
+def _rand_csr(n, m, density, seed, banded=None):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, m, density=density, random_state=rng,
+                  format="csr", dtype=np.float64)
+    if banded is not None:
+        rows = np.repeat(np.arange(n), np.diff(A.indptr))
+        keep = np.abs(A.indices - rows * m // n) <= banded
+        A.data[~keep] = 0.0
+        A.eliminate_zeros()
+    return A
+
+
+def _dist_spmv_host(A, op, part_dst, part_src, mesh):
+    """Run op.spmv under shard_map and return the logical result."""
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    def run(op_st, x_st):
+        def body(op_s, x_s):
+            return local(op_s).spmv(x_s[0])[None]
+        return jax.shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                             out_specs=P(axis))(op_st, x_st)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[1])
+    xp = jnp.asarray(part_src.pad_vec(x), dtype=jnp.float32)
+    y = run(op, xp)
+    return part_dst.unpad_vec(np.asarray(y)), A @ x
+
+
+@pytest.mark.parametrize("n", [40, 700])
+def test_dist_dia_spmv_poisson(n):
+    A = poisson2d(int(np.sqrt(n)) or 2)
+    part = Partition.make(A.shape[0], NDEV)
+    mesh = default_mesh()
+    op = csr_to_dist(A, part, part)
+    assert isinstance(op, DistDia)
+    got, want = _dist_spmv_host(A, op, part, part, mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_dist_ell_halo_spmv():
+    # banded random matrix -> halo mode
+    n = 600
+    A = _rand_csr(n, n, 0.02, seed=1, banded=60)
+    A = A + sp.identity(n)
+    part = Partition.make(n, NDEV)
+    mesh = default_mesh()
+    op = csr_to_dist(A.tocsr(), part, part, prefer_dia=False)
+    assert isinstance(op, DistEll)
+    got, want = _dist_spmv_host(A, op, part, part, mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_dist_ell_gather_spmv():
+    # fully random -> columns reach beyond neighbors -> gather mode
+    n = 600
+    A = (_rand_csr(n, n, 0.05, seed=2) + sp.identity(n)).tocsr()
+    part = Partition.make(n, NDEV)
+    mesh = default_mesh()
+    op = csr_to_dist(A, part, part, prefer_dia=False)
+    assert isinstance(op, DistEll) and op.mode == "gather"
+    got, want = _dist_spmv_host(A, op, part, part, mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_dist_rectangular_spmv():
+    # P-like operator: fine rows, coarse cols
+    nf, nc = 500, 180
+    A = (_rand_csr(nf, nc, 0.02, seed=3) +
+         sp.csr_matrix((np.ones(nc), (np.arange(nc), np.arange(nc))),
+                       shape=(nf, nc))).tocsr()
+    pf = Partition.make(nf, NDEV)
+    pc = Partition.make(nc, NDEV)
+    mesh = default_mesh()
+    op = csr_to_dist(A, pf, pc, prefer_dia=False)
+    got, want = _dist_spmv_host(A, op, pf, pc, mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_dist_solve_matches_serial_poisson2d():
+    A = poisson2d(32)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40)
+    kr = KrylovParams(tol=1e-8)
+    serial = AMGSolver(A, params, kr).solve(b)
+    dist = DistAMGSolver(A, params=params, krylov=kr).solve(b)
+    assert serial.converged and dist.converged
+    # both reach the same tolerance against the true residual
+    r_s = np.linalg.norm(b - A @ serial.x) / np.linalg.norm(b)
+    r_d = np.linalg.norm(b - A @ dist.x) / np.linalg.norm(b)
+    assert r_s <= 1e-8 and r_d <= 1e-8
+    # iteration counts should be essentially identical (same algorithm,
+    # same hierarchy; only reduction order differs)
+    assert abs(dist.iterations - serial.iterations) <= 3
+
+
+def test_dist_solve_poisson3d_chebyshev():
+    A = poisson3d(12)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(A.shape[0])
+    params = AMGParams(smoother="chebyshev", coarse_size=40)
+    res = DistAMGSolver(A, params=params,
+                        krylov=KrylovParams(tol=1e-8)).solve(b)
+    assert res.converged
+    assert np.linalg.norm(b - A @ res.x) / np.linalg.norm(b) <= 1e-8
+
+
+def test_dist_solve_nd1_vs_nd8():
+    """1-device and 8-device meshes agree (SURVEY.md §4.4)."""
+    A = poisson2d(24)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40)
+    kr = KrylovParams(tol=1e-8)
+    r1 = DistAMGSolver(A, mesh=default_mesh(1), params=params,
+                       krylov=kr).solve(b)
+    r8 = DistAMGSolver(A, mesh=default_mesh(), params=params,
+                       krylov=kr).solve(b)
+    assert r1.converged and r8.converged
+    np.testing.assert_allclose(r1.x, r8.x, rtol=1e-6, atol=1e-9)
