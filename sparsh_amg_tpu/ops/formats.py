@@ -74,11 +74,51 @@ class EllMatrix:
 
     def spmv(self, x: jax.Array) -> jax.Array:
         """y = sum_k vals[k] * x[cols[k]].  x must have length >= n_cols;
-        padding cols point at entry 0 with val 0, so any x works."""
-        y = jnp.zeros(self.n_pad, dtype=x.dtype)
-        for k in range(self.k):
-            y = y + self.vals[k] * x.at[self.cols[k]].get(mode="promise_in_bounds")
+        padding cols point at entry 0 with val 0, so any x works.
+
+        Small K unrolls (lets XLA fuse the whole sum); large K uses a
+        fori_loop so coarse levels with hundreds of slots don't explode
+        the traced graph / compile time."""
+        return _ell_spmv(self.cols, self.vals, x, self.n_pad)
+
+
+def _ell_spmv(cols, vals, x, n_pad, unroll_max: int = 16):
+    K = cols.shape[0]
+    if K <= unroll_max:
+        y = jnp.zeros(n_pad, dtype=x.dtype)
+        for k in range(K):
+            y = y + vals[k] * x.at[cols[k]].get(mode="promise_in_bounds")
         return y
+
+    def body(k, y):
+        c = jax.lax.dynamic_index_in_dim(cols, k, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(vals, k, 0, keepdims=False)
+        return y + v * x.at[c].get(mode="promise_in_bounds")
+
+    # seed the carry with the k=0 term (not jnp.zeros) so it carries the
+    # same shard_map varying-manual-axes type as the loop body's output
+    y0 = vals[0] * x.at[cols[0]].get(mode="promise_in_bounds")
+    return jax.lax.fori_loop(1, K, body, y0)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["mat"], meta_fields=["n_rows", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class DenseMatrix:
+    """Densified small-level operator: spmv is an MXU matvec.  Coarse AMG
+    levels lose all sparsity structure (SURVEY.md §6: RS coarse operators
+    densify); below a size threshold a dense matmul is both faster and
+    compiles O(1) regardless of nnz/row."""
+    mat: jax.Array            # (n_pad, m_pad)
+    n_rows: int
+    n_cols: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.mat.shape[0]
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        return jnp.dot(self.mat, x, preferred_element_type=x.dtype)
 
 
 def spmv(A, x: jax.Array) -> jax.Array:
@@ -132,14 +172,29 @@ def csr_to_ell(A: sp.csr_matrix, dtype=jnp.float32,
                      n_rows=n, n_cols=m)
 
 
+def csr_to_dense(A: sp.csr_matrix, dtype=jnp.float32,
+                 pad_multiple: int = 128) -> DenseMatrix:
+    n, m = A.shape
+    np_, mp_ = _round_up(max(n, 1), pad_multiple), _round_up(max(m, 1),
+                                                             pad_multiple)
+    dense = np.zeros((np_, mp_))
+    dense[:n, :m] = A.toarray()
+    return DenseMatrix(mat=jnp.asarray(dense, dtype=dtype), n_rows=n,
+                       n_cols=m)
+
+
 def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
-                  dia_max_bands: int = 32, pad_multiple: int = 128):
+                  dia_max_bands: int = 32, pad_multiple: int = 128,
+                  dense_size: int = 0):
     """Pick the best device layout for a host CSR matrix.
 
-    DIA when the matrix is square, stencil-structured (few distinct
-    diagonals) and dense-enough within them; ELL otherwise.
+    Dense matvec below `dense_size` rows; DIA when the matrix is square,
+    stencil-structured (few distinct diagonals) and dense-enough within
+    them; ELL otherwise.
     """
     n, m = A.shape
+    if dense_size and n <= dense_size and m <= dense_size:
+        return csr_to_dense(A, dtype, pad_multiple)
     if prefer_dia and n == m and A.nnz > 0:
         uoffs = csr_diag_offsets(A)
         if len(uoffs) <= dia_max_bands:

@@ -147,15 +147,39 @@ class DistEll:
                                    vals=self.vals[0])
 
     def spmv(self, x_loc: jax.Array) -> jax.Array:
+        from ..ops.formats import _ell_spmv
         if self.mode == "halo":
             src = halo_exchange(x_loc, self.h, self.nd, self.axis)
         else:
             src = jax.lax.all_gather(x_loc, self.axis, tiled=True)
-        y = jnp.zeros(self.n_loc, dtype=x_loc.dtype)
-        for k in range(self.k):
-            y = y + self.vals[k] * src.at[self.cols[k]].get(
-                mode="promise_in_bounds")
-        return y
+        return _ell_spmv(self.cols, self.vals, src, self.n_loc)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["mat"],
+         meta_fields=["nd", "axis", "n_rows", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class DistDense:
+    """Densified small-level operator, row-sliced per shard: each shard
+    holds its (n_loc, m_pad_global) slice and multiplies the all-gathered
+    source vector on the MXU (the distributed twin of
+    ops.formats.DenseMatrix; agglomeration per SURVEY.md C24)."""
+    mat: jax.Array            # (nd, n_loc, m_pad) stacked / (n_loc, m_pad) local
+    nd: int
+    axis: str
+    n_rows: int
+    n_cols: int
+
+    @property
+    def n_loc(self) -> int:
+        return self.mat.shape[-2]
+
+    def local(self) -> "DistDense":
+        return dataclasses.replace(self, mat=self.mat[0])
+
+    def spmv(self, x_loc: jax.Array) -> jax.Array:
+        x_full = jax.lax.all_gather(x_loc, self.axis, tiled=True)
+        return jnp.dot(self.mat, x_full, preferred_element_type=x_loc.dtype)
 
 
 def dist_spmv(A, x_loc):
@@ -175,7 +199,7 @@ def _csr_fields(A: sp.csr_matrix):
 def csr_to_dist(A: sp.csr_matrix, part_dst: Partition, part_src: Partition,
                 dtype=jnp.float32, axis: str = "rows",
                 prefer_dia: bool = True, dia_max_bands: int = 32,
-                max_halo_frac: float = 1.0):
+                max_halo_frac: float = 1.0, dense_size: int = 0):
     """Freeze a host CSR operator into a distributed device layout.
 
     ``part_dst`` partitions the rows (output vector), ``part_src`` the
@@ -192,6 +216,14 @@ def csr_to_dist(A: sp.csr_matrix, part_dst: Partition, part_src: Partition,
     n, m = A.shape
     assert n == part_dst.n and m == part_src.n
     nl_d, nl_s = part_dst.n_loc, part_src.n_loc
+
+    if dense_size and n <= dense_size and m <= dense_size:
+        dense = np.zeros((part_dst.n_pad, part_src.n_pad))
+        dense[:n, :m] = A.toarray()
+        return DistDense(mat=jnp.asarray(
+            dense.reshape(nd, nl_d, part_src.n_pad), dtype=dtype),
+            nd=nd, axis=axis, n_rows=n, n_cols=m)
+
     rows, cols, data = _csr_fields(A)
 
     same_part = (n == m and nl_d == nl_s)

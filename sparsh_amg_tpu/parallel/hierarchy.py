@@ -137,7 +137,8 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
         is_coarsest = li == len(hier.levels) - 1 or lev.P is None
         dev_A = csr_to_dist(A, part, part, dtype=dtype, axis=axis,
                             prefer_dia=params.prefer_dia,
-                            dia_max_bands=params.dia_max_bands)
+                            dia_max_bands=params.dia_max_bands,
+                            dense_size=params.dense_size)
         d = A.diagonal()
         dinv = _stack_vec(part, np.where(d != 0, 1.0 / d, 0.0), dtype)
         absrow = np.asarray(np.abs(A).sum(axis=1)).ravel()
@@ -149,10 +150,13 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
         P = R = coarse_inv = None
         if not is_coarsest:
             cpart = parts[li + 1]
+            nc = lev.P.shape[1]
+            pr_dense = params.dense_size if max(n, nc) <= params.dense_size \
+                else 0
             P = csr_to_dist(lev.P, part, cpart, dtype=dtype, axis=axis,
-                            prefer_dia=False)
+                            prefer_dia=False, dense_size=pr_dense)
             R = csr_to_dist(lev.R, cpart, part, dtype=dtype, axis=axis,
-                            prefer_dia=False)
+                            prefer_dia=False, dense_size=pr_dense)
         else:
             ncp = part.n_pad
             dense = np.zeros((ncp, ncp))

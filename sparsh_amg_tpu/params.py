@@ -25,6 +25,8 @@ class AMGParams:
     theta: float = 0.25                # strength-of-connection threshold
     coarsening: str = "rs"             # rs | pmis | aggregation
     interpolation: str = "direct"      # direct | tentative | smoothed
+    interp_max: int = 5                # max interpolation entries per row
+                                       # (hypre P_max_elmts; 0 = no limit)
     max_levels: int = 25
     coarse_size: int = 64              # stop coarsening at/below this n
     jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
@@ -42,6 +44,9 @@ class AMGParams:
     prefer_dia: bool = True            # use DIA (stencil) layout when it fits
     dia_max_bands: int = 32            # densify-to-bands threshold
     ell_pad_multiple: int = 8          # pad rows to a multiple of this
+    dense_size: int = 2048             # densify levels at/below this n
+                                       # (coarse AMG operators lose sparsity;
+                                       # MXU matvec wins and compiles O(1))
 
     def replace(self, **kw) -> "AMGParams":
         return dataclasses.replace(self, **kw)

@@ -16,7 +16,7 @@ import scipy.sparse as sp
 from ..params import AMGParams
 from .strength import classical_strength, symmetric_strength
 from .splitting import rs_splitting, pmis_splitting
-from .interp import direct_interpolation
+from .interp import direct_interpolation, truncate_rows
 from .aggregate import (greedy_aggregation, tentative_prolongator,
                         smooth_prolongator)
 
@@ -76,6 +76,7 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
         if n_c == 0 or n_c >= A.shape[0]:
             return None
         P = direct_interpolation(A, strong_mask, cf)
+        P = truncate_rows(P, params.interp_max)
         return P, cf, None
     elif params.coarsening == "aggregation":
         _, S = symmetric_strength(A, params.theta)

@@ -43,6 +43,46 @@ def direct_interpolation(A: sp.csr_matrix, strong_mask: np.ndarray,
     return _direct_interp_numpy(A, strong_mask, cf, cmap, n_c)
 
 
+def truncate_rows(P: sp.csr_matrix, max_per_row: int) -> sp.csr_matrix:
+    """Interpolation truncation (hypre's P_max_elmts): keep the
+    `max_per_row` largest-|w| entries per row, rescaling so the positive
+    and negative row sums are separately preserved.  This is what keeps
+    Galerkin operator complexity bounded on 3-D problems — without it
+    RS+direct RAP densifies (~270 nnz/row observed at level 5 on a 64^3
+    Poisson)."""
+    if max_per_row <= 0 or P.nnz == 0:
+        return P
+    nnzr = np.diff(P.indptr)
+    if nnzr.max() <= max_per_row:
+        return P
+    n = P.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnzr)
+    # stable sort by (row, -|w|): entries stay grouped by row
+    order = np.lexsort((-np.abs(P.data), rows))
+    rank = np.arange(P.nnz, dtype=np.int64) - np.repeat(
+        P.indptr[:-1].astype(np.int64), nnzr)
+    keep = np.empty(P.nnz, dtype=bool)
+    keep[order] = rank < max_per_row
+
+    def rowsum(mask):
+        out = np.zeros(n)
+        np.add.at(out, rows, np.where(mask, P.data, 0.0))
+        return out
+
+    pos, neg = P.data > 0, P.data < 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s_pos = rowsum(pos) / rowsum(pos & keep)
+        s_neg = rowsum(neg) / rowsum(neg & keep)
+    s_pos = np.where(np.isfinite(s_pos), s_pos, 1.0)
+    s_neg = np.where(np.isfinite(s_neg), s_neg, 1.0)
+    data = np.where(pos, P.data * s_pos[rows], P.data * s_neg[rows])[keep]
+    out = sp.csr_matrix((data, P.indices[keep],
+                         np.concatenate([[0], np.cumsum(
+                             np.bincount(rows[keep], minlength=n))])),
+                        shape=P.shape)
+    return out
+
+
 def _direct_interp_numpy(A, strong_mask, cf, cmap, n_c):
     """Vectorized numpy fallback (same formula as the native kernel)."""
     n = A.shape[0]

@@ -19,7 +19,8 @@ import scipy.sparse as sp
 
 from ..params import AMGParams
 from ..setup.hierarchy import Hierarchy
-from ..ops.formats import csr_to_device, csr_to_ell, _round_up
+from ..ops.formats import (csr_to_device, csr_to_ell, csr_to_dense,
+                           _round_up)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -86,7 +87,8 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         n = A.shape[0]
         is_coarsest = li == len(hier.levels) - 1 or lev.P is None
         dev_A = csr_to_device(A, dtype=dtype, prefer_dia=params.prefer_dia,
-                              dia_max_bands=params.dia_max_bands)
+                              dia_max_bands=params.dia_max_bands,
+                              dense_size=params.dense_size)
         n_pad = dev_A.n_pad
         d = A.diagonal()
         dinv = np.zeros(n_pad)
@@ -103,12 +105,15 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         P = R = coarse_inv = None
         if not is_coarsest:
             nc = lev.P.shape[1]
-            P = csr_to_ell(lev.P, dtype=dtype)
-            R = csr_to_ell(lev.R, dtype=dtype)
-            # pad P's row count to this level's n_pad and R's to coarse pad:
-            # csr_to_ell already pads rows to a multiple of 128; both levels
-            # use the same multiple so shapes line up with vectors.
-            assert P.n_pad >= n and R.n_cols <= n_pad
+            if max(n, nc) <= params.dense_size:
+                P = csr_to_dense(lev.P, dtype=dtype)
+                R = csr_to_dense(lev.R, dtype=dtype)
+            else:
+                P = csr_to_ell(lev.P, dtype=dtype)
+                R = csr_to_ell(lev.R, dtype=dtype)
+                # csr_to_ell pads rows to a multiple of 128; both levels use
+                # the same multiple so shapes line up with vectors.
+                assert P.n_pad >= n and R.n_cols <= n_pad
         else:
             dense = np.zeros((n_pad, n_pad))
             dense[:n, :n] = np.linalg.inv(A.toarray())
