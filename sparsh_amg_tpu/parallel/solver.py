@@ -71,7 +71,8 @@ class DistAMGSolver:
     # -- jitted shard_map kernels ----------------------------------------
     def _build_jitted(self):
         cycle = make_cycle(self.params)
-        inner = pcg if self.krylov.method == "cg" else bicgstab
+        kr = self.krylov
+        inner = pcg if kr.method == "cg" else bicgstab
         mesh, axis = self.mesh, self.axis
         Pr, Pn = P(axis), P()
 
@@ -85,7 +86,8 @@ class DistAMGSolver:
                 b = b_s[0]
                 mv = lambda v: levels[0].A.spmv(v)
                 pc = lambda r: cycle(levels, r)
-                dotf = lambda x, y: pdot(x, y, axis)
+                dotf = lambda x, y: pdot(x, y, axis,
+                                         compensated=kr.compensated_dots)
                 x, iters, rel = inner(mv, pc, b, tol=tol_s, maxiter=maxiter,
                                       dot_fn=dotf)
                 return x[None], iters, rel
@@ -104,7 +106,8 @@ class DistAMGSolver:
                 r_hi, r_lo = Adf.residual_df64(bh, bl, xh, xl)
                 mv = lambda v: levels[0].A.spmv(v)
                 pc = lambda r: cycle(levels, r)
-                dotf = lambda x, y: pdot(x, y, axis)
+                dotf = lambda x, y: pdot(x, y, axis,
+                                         compensated=kr.compensated_dots)
                 d, iters, _ = inner(mv, pc, r_hi, tol=tol_s, maxiter=maxiter,
                                     dot_fn=dotf)
                 xh, xl = df64.add(xh, xl, d, jnp.zeros_like(d))

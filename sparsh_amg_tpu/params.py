@@ -66,6 +66,12 @@ class KrylovParams:
     refine: bool = True
     inner_tol: float = 1e-5            # per-refinement-pass inner tolerance
     max_refine: int = 6
+    # Inner Krylov dot products: plain fp32 (XLA pairwise reduction,
+    # ~log2(n)*eps relative error — far below inner_tol).  The df64
+    # compensated dot is reserved for the OUTER refinement residuals: its
+    # 19-stage tree reduction costs ~47 ms per call inside a TPU
+    # while_loop body (measured), vs ~0 for the fused fp32 reduce.
+    compensated_dots: bool = False
 
 
 DEFAULT_AMG = AMGParams()

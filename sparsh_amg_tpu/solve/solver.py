@@ -81,7 +81,8 @@ class AMGSolver:
             A0 = levels[0].A
             mv = lambda v: spmv(A0, v)
             pc = lambda r: cycle(levels, r)
-            return inner(mv, pc, b, tol=tol, maxiter=maxiter)
+            return inner(mv, pc, b, tol=tol, maxiter=maxiter,
+                         compensated=kr.compensated_dots)
 
         self._inner_solve = jax.jit(inner_solve, static_argnames=("maxiter",),
                                     donate_argnums=())
