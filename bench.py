@@ -77,8 +77,8 @@ def main():
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n)
 
-    # warmup (compile)
-    solver.solve(b, tol=1e-2, maxiter=3)
+    # warmup (compile) — same static maxiter so no recompile on the real run
+    solver.solve(b, tol=1e-2)
     res = solver.solve(b)
 
     nnz = A.nnz

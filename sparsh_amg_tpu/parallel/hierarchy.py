@@ -96,7 +96,12 @@ class DistLevel:
     def coarse_solve(self, b_loc: jax.Array) -> jax.Array:
         """x_loc = (A_c^-1 b)_loc: all_gather b, multiply the local row
         slice of the dense inverse on the MXU (reference C17 + C24
-        agglomeration)."""
+        agglomeration).  Falls back to heavy l1-Jacobi smoothing when the
+        coarsest level was too large to densify."""
+        if self.coarse_inv is None:
+            from ..solve.smoothers import l1_jacobi
+            return l1_jacobi(self, b_loc, jnp.zeros_like(b_loc), sweeps=16,
+                             zero_start=True)
         b_full = jax.lax.all_gather(b_loc, self.axis, tiled=True)
         return jnp.dot(self.coarse_inv, b_full,
                        preferred_element_type=b_loc.dtype)
@@ -157,7 +162,7 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
                             prefer_dia=False, dense_size=pr_dense)
             R = csr_to_dist(lev.R, cpart, part, dtype=dtype, axis=axis,
                             prefer_dia=False, dense_size=pr_dense)
-        else:
+        elif n <= params.coarse_inv_max:
             ncp = part.n_pad
             dense = np.zeros((ncp, ncp))
             dense[:n, :n] = np.linalg.inv(A.toarray())

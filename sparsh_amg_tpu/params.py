@@ -39,6 +39,11 @@ class AMGParams:
     nu2: int = 1                       # post-smoothing sweeps
     cycle: str = "V"                   # V | W | F
     coarse_solver: str = "lu"          # lu | cholesky | smooth
+    coarse_inv_max: int = 8192         # build a dense inverse only if the
+                                       # coarsest n is at/below this; else
+                                       # fall back to heavy l1-Jacobi sweeps
+                                       # (guards stalled coarsening)
+    coarse_smooth_sweeps: int = 16     # sweeps for the smoothing fallback
     # --- device layout ---
     dtype: str = "float32"             # device solve dtype
     prefer_dia: bool = True            # use DIA (stencil) layout when it fits
@@ -59,6 +64,14 @@ class KrylovParams:
     method: str = "cg"                 # cg | bicgstab
     tol: float = 1e-8                  # relative residual target
     maxiter: int = 500
+    # Iteration-loop placement (SURVEY.md §3.1): "device" runs the whole
+    # Krylov loop as one lax.while_loop (single XLA computation, best for
+    # multi-host pods); "host" dispatches `chunk` iterations per jitted
+    # call and checks convergence on the host — the reference's GPU-driver
+    # pattern, robust to backends with per-while-iteration sync overhead.
+    loop_mode: str = "host"            # host | device
+    chunk: int = 4                     # iterations per dispatch (host mode;
+                                       # up to chunk-1 overrun per solve)
     # Mixed-precision iterative refinement: the device cycle runs in fp32
     # (TPU has no fast native f64); to reach tol below fp32 roundoff the
     # outer loop recomputes residuals in double-float (df64) arithmetic and

@@ -44,7 +44,13 @@ class DeviceLevel:
 
     def coarse_solve(self, b: jax.Array) -> jax.Array:
         """Dense inverse applied on the MXU (reference: LAPACK LU on the
-        coarsest level, SURVEY.md C17)."""
+        coarsest level, SURVEY.md C17).  When the coarsest level was too
+        large to densify (stalled coarsening), fall back to heavy
+        l1-Jacobi smoothing — the reference's 'smooth' coarse option."""
+        if self.coarse_inv is None:
+            from .smoothers import l1_jacobi
+            return l1_jacobi(self, b, jnp.zeros_like(b), sweeps=16,
+                             zero_start=True)
         return jnp.dot(self.coarse_inv, b, preferred_element_type=b.dtype)
 
 
@@ -114,7 +120,7 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                 # csr_to_ell pads rows to a multiple of 128; both levels use
                 # the same multiple so shapes line up with vectors.
                 assert P.n_pad >= n and R.n_cols <= n_pad
-        else:
+        elif n <= params.coarse_inv_max:
             dense = np.zeros((n_pad, n_pad))
             dense[:n, :n] = np.linalg.inv(A.toarray())
             coarse_inv = jnp.asarray(dense, dtype=dtype)

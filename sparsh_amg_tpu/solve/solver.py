@@ -26,7 +26,9 @@ from ..ops.formats import spmv
 from ..ops.df64_ops import csr_to_df64, residual_df64
 from .device import to_device, DeviceHierarchy
 from .cycles import make_cycle
-from .krylov import pcg, bicgstab
+from .krylov import (pcg, bicgstab, pcg_init, pcg_step, bicgstab_init,
+                     bicgstab_step)
+from ..ops.blas import dot as _blas_dot
 
 
 @dataclasses.dataclass
@@ -55,14 +57,18 @@ class AMGSolver:
     """
 
     def __init__(self, A: sp.csr_matrix, params: AMGParams | None = None,
-                 krylov: KrylovParams | None = None):
-        self.params = params or AMGParams()
+                 krylov: KrylovParams | None = None,
+                 hierarchy: Hierarchy | None = None):
+        self.params = params or (hierarchy.params if hierarchy else None) \
+            or AMGParams()
         self.krylov = krylov or KrylovParams()
         t0 = time.perf_counter()
         A = A.tocsr()
         self.A_host = A
         self.n = A.shape[0]
-        self.hierarchy: Hierarchy = amg_setup(A, self.params)
+        # `hierarchy` lets a saved setup (utils.serialize) be reused across
+        # solver instances — the reference rebuilds per run (SURVEY §5.4)
+        self.hierarchy: Hierarchy = hierarchy or amg_setup(A, self.params)
         self.device: DeviceHierarchy = to_device(self.hierarchy, self.params)
         self.n_pad = self.device.levels[0].n_pad
         # df64 fine-level operator for refinement residuals
@@ -75,28 +81,51 @@ class AMGSolver:
     def _build_jitted(self):
         cycle = make_cycle(self.params)
         kr = self.krylov
-        inner = pcg if kr.method == "cg" else bicgstab
+        is_cg = kr.method == "cg"
+        inner = pcg if is_cg else bicgstab
+        _dot = lambda a, b: _blas_dot(a, b, compensated=kr.compensated_dots)
 
-        def inner_solve(levels, b, tol, maxiter):
-            A0 = levels[0].A
-            mv = lambda v: spmv(A0, v)
+        def _ops(levels):
+            mv = lambda v: spmv(levels[0].A, v)
             pc = lambda r: cycle(levels, r)
+            return mv, pc
+
+        # -- device mode: whole Krylov loop as one while_loop -------------
+        def inner_solve(levels, b, tol, maxiter):
+            mv, pc = _ops(levels)
             return inner(mv, pc, b, tol=tol, maxiter=maxiter,
                          compensated=kr.compensated_dots)
 
-        self._inner_solve = jax.jit(inner_solve, static_argnames=("maxiter",),
-                                    donate_argnums=())
+        self._inner_solve_dev = jax.jit(inner_solve,
+                                        static_argnames=("maxiter",))
 
-        def refine_step(levels, Adf, b_hi, b_lo, x_hi, x_lo, tol, maxiter):
-            """One IR pass: df64 residual, fp32 inner solve, df64 update."""
+        # -- host mode: chunk of `kr.chunk` iterations per dispatch -------
+        def kr_init(levels, b):
+            mv, pc = _ops(levels)
+            return (pcg_init(mv, pc, b, _dot) if is_cg
+                    else bicgstab_init(mv, b, _dot))
+
+        def kr_chunk(levels, rhat, state):
+            mv, pc = _ops(levels)
+            if is_cg:
+                step = lambda i, st: pcg_step(mv, pc, _dot, st)
+            else:
+                step = lambda i, st: bicgstab_step(mv, pc, _dot, rhat, st)
+            return jax.lax.fori_loop(0, kr.chunk, step, state)
+
+        self._kr_init = jax.jit(kr_init)
+        self._kr_chunk = jax.jit(kr_chunk)
+
+        def refine_residual(Adf, b_hi, b_lo, x_hi, x_lo):
             r_hi, r_lo = residual_df64(Adf, b_hi, b_lo, x_hi, x_lo)
-            rn_hi, rn_lo = df64.norm2_sq(r_hi)
-            d, iters, inner_rel = inner_solve(levels, r_hi, tol, maxiter)
-            x_hi, x_lo = df64.add(x_hi, x_lo, d, jnp.zeros_like(d))
-            return x_hi, x_lo, rn_hi + rn_lo, iters
+            return r_hi
 
-        self._refine_step = jax.jit(refine_step,
-                                    static_argnames=("maxiter",))
+        self._refine_residual = jax.jit(refine_residual)
+
+        def refine_update(x_hi, x_lo, d):
+            return df64.add(x_hi, x_lo, d, jnp.zeros_like(d))
+
+        self._refine_update = jax.jit(refine_update)
 
         def true_resnorm(Adf, b_hi, b_lo, x_hi, x_lo):
             r_hi, r_lo = residual_df64(Adf, b_hi, b_lo, x_hi, x_lo)
@@ -104,6 +133,34 @@ class AMGSolver:
             return rn_hi + rn_lo
 
         self._true_resnorm = jax.jit(true_resnorm)
+
+    def _inner_solve(self, levels, b, tol, maxiter):
+        """Inner fp32 AMG-Krylov solve; dispatches on loop_mode.
+        Returns (x_device, iters:int, relres:float)."""
+        kr = self.krylov
+        if kr.loop_mode == "device":
+            # always compile with the configured maxiter (it's a static
+            # argument — varying per-pass budgets would recompile)
+            x, it, rel = self._inner_solve_dev(levels, b, tol, kr.maxiter)
+            return x, int(it), float(rel)
+        is_cg = kr.method == "cg"
+        i_rr, i_k = (5, 6) if is_cg else (7, 8)
+        state = self._kr_init(levels, b)
+        rr0 = float(state[i_rr])     # == ||b||^2 for x0 = 0
+        if rr0 == 0.0:
+            return state[0], 0, 0.0
+        target = (tol * tol) * rr0
+        iters = 0
+        rr = rr0
+        while iters < maxiter:
+            state = self._kr_chunk(levels, b, state)
+            rr = float(state[i_rr])
+            iters = int(state[i_k])
+            if rr <= target or not np.isfinite(rr):
+                break
+            if not is_cg and bool(state[9]):   # BiCGStab breakdown
+                break
+        return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
 
     def _pad(self, v: np.ndarray) -> np.ndarray:
         out = np.zeros(self.n_pad, dtype=np.float64)
@@ -133,10 +190,9 @@ class AMGSolver:
         if not kr.refine:
             x, iters, relres = self._inner_solve(levels, b_hi, tol, maxiter)
             x = np.asarray(jax.device_get(x), dtype=np.float64)[: self.n]
-            relres = float(relres)
-            return SolveResult(x, relres <= tol, relres, int(iters), 1,
+            return SolveResult(x, relres <= tol, relres, iters, 1,
                                self.setup_time, time.perf_counter() - t0,
-                               [(int(iters), relres)])
+                               [(iters, relres)])
 
         x_hi = jnp.zeros(self.n_pad, dtype=jnp.float32)
         x_lo = jnp.zeros(self.n_pad, dtype=jnp.float32)
@@ -147,10 +203,11 @@ class AMGSolver:
             budget = maxiter - total_iters
             if budget <= 0:
                 break
-            x_hi, x_lo, rnsq, iters = self._refine_step(
-                levels, self.A_df, b_hi, b_lo, x_hi, x_lo,
-                max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1),
-                maxiter)
+            r_hi = self._refine_residual(self.A_df, b_hi, b_lo, x_hi, x_lo)
+            d, iters, _ = self._inner_solve(
+                levels, r_hi,
+                max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1), budget)
+            x_hi, x_lo = self._refine_update(x_hi, x_lo, d)
             passes += 1
             total_iters += int(iters)
             # true residual after the update

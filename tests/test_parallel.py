@@ -105,7 +105,9 @@ def test_dist_solve_matches_serial_poisson2d():
     rng = np.random.default_rng(0)
     b = rng.standard_normal(A.shape[0])
     params = AMGParams(coarse_size=40)
-    kr = KrylovParams(tol=1e-8)
+    # device loop mode for exact iteration-count parity (host mode rounds
+    # counts up to the dispatch chunk)
+    kr = KrylovParams(tol=1e-8, loop_mode="device")
     serial = AMGSolver(A, params, kr).solve(b)
     dist = DistAMGSolver(A, params=params, krylov=kr).solve(b)
     assert serial.converged and dist.converged
