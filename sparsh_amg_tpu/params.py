@@ -23,6 +23,10 @@ class AMGParams:
 
     # --- setup phase ---
     theta: float = 0.25                # strength-of-connection threshold
+    agg_theta: float = 0.08            # symmetric-strength threshold for
+                                       # aggregation (|a_ij| vs sqrt(a_ii a_jj);
+                                       # 0.25 would mark NOTHING strong on a
+                                       # 3-D Laplacian where offdiag/diag=1/6)
     coarsening: str = "rs"             # rs | pmis | aggregation
     interpolation: str = "direct"      # direct | tentative | smoothed
     interp_max: int = 5                # max interpolation entries per row

@@ -79,7 +79,7 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
         P = truncate_rows(P, params.interp_max)
         return P, cf, None
     elif params.coarsening == "aggregation":
-        _, S = symmetric_strength(A, params.theta)
+        _, S = symmetric_strength(A, params.agg_theta)
         agg, n_agg = greedy_aggregation(S)
         if n_agg == 0 or n_agg >= A.shape[0]:
             return None

@@ -1,0 +1,83 @@
+"""Auxiliary subsystems: serialization roundtrip (SURVEY.md §5.4),
+coarse-level fallback, host/device loop-mode agreement, aggregation on 3-D."""
+import os
+import numpy as np
+import pytest
+
+from sparsh_amg_tpu.models.poisson import poisson2d, poisson3d
+from sparsh_amg_tpu.params import AMGParams, KrylovParams
+from sparsh_amg_tpu.setup.hierarchy import amg_setup
+from sparsh_amg_tpu.solve.solver import AMGSolver
+from sparsh_amg_tpu.utils.serialize import save_hierarchy, load_hierarchy
+
+
+def test_hierarchy_serialize_roundtrip(tmp_path):
+    A = poisson2d(24)
+    params = AMGParams(coarse_size=40, smoother="chebyshev")
+    hier = amg_setup(A, params)
+    path = str(tmp_path / "h.npz")
+    save_hierarchy(path, hier)
+    h2 = load_hierarchy(path)
+    assert h2.params == params
+    assert h2.n_levels == hier.n_levels
+    for a, b_ in zip(hier.levels, h2.levels):
+        assert (a.A != b_.A).nnz == 0
+        if a.P is not None:
+            assert (a.P != b_.P).nnz == 0
+
+    # a solver built from the loaded hierarchy converges identically
+    b = np.random.default_rng(0).standard_normal(A.shape[0])
+    r1 = AMGSolver(A, params, hierarchy=hier).solve(b)
+    r2 = AMGSolver(A, params, hierarchy=h2).solve(b)
+    assert r1.converged and r2.converged
+    np.testing.assert_allclose(r1.x, r2.x, rtol=1e-10)
+
+
+def test_coarse_smooth_fallback():
+    """Hierarchy stopped early (big coarsest, no dense inverse) still
+    converges via the l1-Jacobi coarse fallback."""
+    A = poisson2d(40)
+    params = AMGParams(max_levels=2, coarse_inv_max=100,
+                       smoother="chebyshev")
+    b = np.random.default_rng(1).standard_normal(A.shape[0])
+    s = AMGSolver(A, params, KrylovParams(tol=1e-8, maxiter=300))
+    assert s.device.levels[-1].coarse_inv is None
+    r = s.solve(b)
+    assert r.converged
+    assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
+
+
+def test_host_device_loop_modes_agree():
+    A = poisson2d(32)
+    b = np.random.default_rng(2).standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40)
+    rh = AMGSolver(A, params, KrylovParams(loop_mode="host")).solve(b)
+    rd = AMGSolver(A, params, KrylovParams(loop_mode="device")).solve(b)
+    assert rh.converged and rd.converged
+    for r in (rh, rd):
+        assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
+    # host mode may overrun by at most chunk-1 per refinement pass
+    assert rh.iterations <= rd.iterations + 4 * rh.refine_passes
+
+
+def test_aggregation_poisson3d():
+    """agg_theta default must mark 3-D Laplacian connections strong
+    (theta=0.25 marks nothing: offdiag/diag = 1/6)."""
+    A = poisson3d(16)
+    b = np.random.default_rng(3).standard_normal(A.shape[0])
+    params = AMGParams(coarsening="aggregation", interpolation="smoothed",
+                       smoother="chebyshev")
+    s = AMGSolver(A, params, KrylovParams(tol=1e-8))
+    assert s.hierarchy.n_levels >= 2
+    r = s.solve(b)
+    assert r.converged and r.iterations < 40
+
+
+def test_bicgstab_host_mode():
+    A = poisson2d(24)
+    b = np.random.default_rng(4).standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40)
+    r = AMGSolver(A, params, KrylovParams(method="bicgstab",
+                                          loop_mode="host")).solve(b)
+    assert r.converged
+    assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
