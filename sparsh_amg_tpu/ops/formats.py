@@ -28,6 +28,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Pallas DIA kernel dispatch: TPU backend, level big enough to amortize the
+# kernel launch.  SPARSH_NO_PALLAS=1 forces the XLA fallback everywhere.
+_PALLAS_DIA_MIN = 1 << 15
+
+
+def _use_pallas_dia(n_pad: int) -> bool:
+    import os
+    if os.environ.get("SPARSH_NO_PALLAS"):
+        return False
+    try:
+        return (jax.default_backend() == "tpu" and n_pad >= _PALLAS_DIA_MIN)
+    except RuntimeError:
+        return False
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["bands"], meta_fields=["offsets", "n_rows", "n_cols"])
 @dataclasses.dataclass(frozen=True)
@@ -43,7 +58,14 @@ class DiaMatrix:
         return self.bands.shape[1]
 
     def spmv(self, x: jax.Array) -> jax.Array:
-        """y[i] = sum_d bands[d,i] * x[i + off_d];  x padded to n_pad."""
+        """y[i] = sum_d bands[d,i] * x[i + off_d];  x padded to n_pad.
+
+        On TPU, large levels dispatch to the Pallas kernel (x streamed to
+        VMEM once, diagonal shifts realized on-chip — see pallas_spmv.py);
+        elsewhere the XLA shifted-FMA fallback."""
+        if _use_pallas_dia(self.n_pad):
+            from .pallas_spmv import dia_spmv_pallas
+            return dia_spmv_pallas(self.bands, x, self.offsets, self.n_pad)
         n_pad = self.n_pad
         maxoff = max((abs(o) for o in self.offsets), default=0)
         xp = jnp.pad(x, (maxoff, maxoff))
