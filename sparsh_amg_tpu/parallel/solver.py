@@ -54,8 +54,10 @@ class DistAMGSolver:
         self.nd = self.mesh.devices.size
         t0 = time.perf_counter()
         A = A.tocsr()
-        self.A_host = A
         self.n = A.shape[0]
+        from ..setup.reorder import maybe_reorder
+        A, self.perm = maybe_reorder(A, self.params.reorder)
+        self.A_host = A
         self.hierarchy: Hierarchy = amg_setup(A, self.params)
         self.dist: DistHierarchy = to_dist(self.hierarchy, self.nd,
                                            self.params, axis=self.axis)
@@ -129,6 +131,13 @@ class DistAMGSolver:
         self._true_resnorm = jax.jit(true_resnorm)
 
     # -- helpers ----------------------------------------------------------
+    def _unperm(self, x: np.ndarray) -> np.ndarray:
+        if self.perm is None:
+            return x
+        out = np.empty_like(x)
+        out[self.perm] = x
+        return out
+
     def _put(self, v_np: np.ndarray) -> jax.Array:
         return jax.device_put(
             jnp.asarray(v_np, dtype=jnp.float32),
@@ -142,6 +151,8 @@ class DistAMGSolver:
         maxiter = kr.maxiter if maxiter is None else maxiter
         t0 = time.perf_counter()
         b = np.asarray(b, dtype=np.float64)
+        if self.perm is not None:
+            b = b[self.perm]
         bpad = self.part.pad_vec(b)
         bnorm = float(np.linalg.norm(bpad))
         if bnorm == 0.0:
@@ -158,8 +169,9 @@ class DistAMGSolver:
             x = self.part.unpad_vec(np.asarray(jax.device_get(x),
                                                dtype=np.float64))
             relres = float(relres)
-            return SolveResult(x, relres <= tol, relres, int(iters), 1,
-                               self.setup_time, time.perf_counter() - t0,
+            return SolveResult(self._unperm(x), relres <= tol, relres,
+                               int(iters), 1, self.setup_time,
+                               time.perf_counter() - t0,
                                [(int(iters), relres)])
 
         zeros = np.zeros((self.nd, self.part.n_loc), dtype=np.float32)
@@ -186,6 +198,6 @@ class DistAMGSolver:
         x = df64.to_f64_np(np.asarray(jax.device_get(x_hi)),
                            np.asarray(jax.device_get(x_lo)))
         x = self.part.unpad_vec(x)
-        return SolveResult(x, converged, relres, total_iters, passes,
-                           self.setup_time, time.perf_counter() - t0,
-                           history)
+        return SolveResult(self._unperm(x), converged, relres, total_iters,
+                           passes, self.setup_time,
+                           time.perf_counter() - t0, history)

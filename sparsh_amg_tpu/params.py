@@ -53,6 +53,10 @@ class AMGParams:
     prefer_dia: bool = True            # use DIA (stencil) layout when it fits
     dia_max_bands: int = 32            # densify-to-bands threshold
     ell_pad_multiple: int = 8          # pad rows to a multiple of this
+    reorder: str = "auto"              # none | rcm | auto: RCM-permute the
+                                       # fine matrix when its bandwidth is
+                                       # too wide for the DIA/halo layouts
+                                       # (SURVEY.md §7 hard-part #2)
     dense_size: int = 2048             # densify levels at/below this n
                                        # (coarse AMG operators lose sparsity;
                                        # MXU matvec wins and compiles O(1))

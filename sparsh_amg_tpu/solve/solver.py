@@ -64,8 +64,15 @@ class AMGSolver:
         self.krylov = krylov or KrylovParams()
         t0 = time.perf_counter()
         A = A.tocsr()
-        self.A_host = A
         self.n = A.shape[0]
+        # RCM bandwidth reduction for general matrices (hard-part #2);
+        # skipped when a prebuilt hierarchy is supplied (its ordering is
+        # already fixed)
+        self.perm = None
+        if hierarchy is None:
+            from ..setup.reorder import maybe_reorder
+            A, self.perm = maybe_reorder(A, self.params.reorder)
+        self.A_host = A
         # `hierarchy` lets a saved setup (utils.serialize) be reused across
         # solver instances — the reference rebuilds per run (SURVEY §5.4)
         self.hierarchy: Hierarchy = hierarchy or amg_setup(A, self.params)
@@ -167,6 +174,13 @@ class AMGSolver:
         out[: self.n] = v
         return out
 
+    def _unperm(self, x: np.ndarray) -> np.ndarray:
+        if self.perm is None:
+            return x
+        out = np.empty_like(x)
+        out[self.perm] = x
+        return out
+
     # -- public API ----------------------------------------------------------
     def solve(self, b: np.ndarray, tol: float | None = None,
               maxiter: int | None = None) -> SolveResult:
@@ -175,6 +189,8 @@ class AMGSolver:
         maxiter = kr.maxiter if maxiter is None else maxiter
         t0 = time.perf_counter()
         b = np.asarray(b, dtype=np.float64)
+        if self.perm is not None:
+            b = b[self.perm]
         bpad = self._pad(b)
         bnorm = float(np.linalg.norm(bpad))
         if bnorm == 0.0:
@@ -190,9 +206,9 @@ class AMGSolver:
         if not kr.refine:
             x, iters, relres = self._inner_solve(levels, b_hi, tol, maxiter)
             x = np.asarray(jax.device_get(x), dtype=np.float64)[: self.n]
-            return SolveResult(x, relres <= tol, relres, iters, 1,
-                               self.setup_time, time.perf_counter() - t0,
-                               [(iters, relres)])
+            return SolveResult(self._unperm(x), relres <= tol, relres,
+                               iters, 1, self.setup_time,
+                               time.perf_counter() - t0, [(iters, relres)])
 
         x_hi = jnp.zeros(self.n_pad, dtype=jnp.float32)
         x_lo = jnp.zeros(self.n_pad, dtype=jnp.float32)
@@ -220,8 +236,9 @@ class AMGSolver:
                 break
         x = df64.to_f64_np(jax.device_get(x_hi),
                            jax.device_get(x_lo))[: self.n]
-        return SolveResult(x, converged, relres, total_iters, passes,
-                           self.setup_time, time.perf_counter() - t0, history)
+        return SolveResult(self._unperm(x), converged, relres, total_iters,
+                           passes, self.setup_time,
+                           time.perf_counter() - t0, history)
 
 
 def solve(A: sp.csr_matrix, b: np.ndarray,

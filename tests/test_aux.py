@@ -81,3 +81,26 @@ def test_bicgstab_host_mode():
                                           loop_mode="host")).solve(b)
     assert r.converged
     assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
+
+
+def test_rcm_reorder_scrambled_poisson():
+    """A randomly permuted Poisson matrix (bandwidth ~ n) is RCM-reordered
+    back to banded form transparently; the returned x matches the original
+    ordering (SURVEY.md §7 hard-part #2)."""
+    import scipy.sparse as sp
+    from sparsh_amg_tpu.setup.reorder import bandwidth
+    A = poisson2d(24).tocsr()
+    n = A.shape[0]
+    rng = np.random.default_rng(5)
+    p = rng.permutation(n)
+    As = A[p][:, p].tocsr()
+    assert bandwidth(As) > 0.5 * n
+    b = rng.standard_normal(n)
+    s = AMGSolver(As, AMGParams(smoother="chebyshev"),
+                  KrylovParams(tol=1e-8))
+    assert s.perm is not None
+    from sparsh_amg_tpu.setup.reorder import bandwidth as bw2
+    assert bw2(s.A_host) < 0.2 * n
+    r = s.solve(b)
+    assert r.converged
+    assert np.linalg.norm(b - As @ r.x) / np.linalg.norm(b) <= 1e-8
