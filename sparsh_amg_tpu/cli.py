@@ -32,7 +32,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--interpolation", default=None,
                    choices=[None, "direct", "tentative", "smoothed"])
     p.add_argument("--smoother", default="jacobi",
-                   choices=["jacobi", "l1jacobi", "chebyshev"])
+                   choices=["jacobi", "l1jacobi", "chebyshev", "gs2"])
     p.add_argument("--cycle", default="V", choices=["V", "W", "F"])
     p.add_argument("--nu1", type=int, default=1)
     p.add_argument("--nu2", type=int, default=1)
@@ -41,6 +41,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--maxiter", type=int, default=500)
     p.add_argument("--no-refine", action="store_true")
     p.add_argument("--coarse-size", type=int, default=64)
+    p.add_argument("--loop-mode", default="host", choices=["host", "device"],
+                   help="Krylov loop placement (see KrylovParams)")
+    p.add_argument("--chunk", type=int, default=4,
+                   help="iterations per dispatch in host loop mode")
+    p.add_argument("--reorder", default="auto",
+                   choices=["auto", "rcm", "none"])
+    p.add_argument("--dist", type=int, default=0, metavar="N",
+                   help="row-shard over N devices (0 = serial single chip)")
+    p.add_argument("--save-hierarchy", default=None, metavar="PATH.npz",
+                   help="serialize the host hierarchy after setup")
+    p.add_argument("--load-hierarchy", default=None, metavar="PATH.npz",
+                   help="reuse a saved hierarchy instead of running setup")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the solve into DIR")
     p.add_argument("--json", action="store_true",
                    help="print one JSON line with the results")
     return p
@@ -53,9 +67,10 @@ def run(argv=None) -> dict:
     params = AMGParams(theta=args.theta, coarsening=args.coarsening,
                        interpolation=interp, smoother=args.smoother,
                        cycle=args.cycle, nu1=args.nu1, nu2=args.nu2,
-                       coarse_size=args.coarse_size)
+                       coarse_size=args.coarse_size, reorder=args.reorder)
     krylov = KrylovParams(method=args.krylov, tol=args.tol,
-                          maxiter=args.maxiter, refine=not args.no_refine)
+                          maxiter=args.maxiter, refine=not args.no_refine,
+                          loop_mode=args.loop_mode, chunk=args.chunk)
 
     if args.problem.endswith(".mtx"):
         import scipy.io
@@ -68,8 +83,26 @@ def run(argv=None) -> dict:
         prob = get_problem(args.problem, n=args.n)
         A, b, name = prob.A, prob.b, prob.name
 
-    solver = AMGSolver(A, params, krylov)
-    res = solver.solve(b)
+    hierarchy = None
+    if args.load_hierarchy:
+        from .utils.serialize import load_hierarchy
+        hierarchy = load_hierarchy(args.load_hierarchy)
+    if args.dist:
+        from .parallel.solver import DistAMGSolver, default_mesh
+        solver = DistAMGSolver(A, mesh=default_mesh(args.dist),
+                               params=params, krylov=krylov)
+    else:
+        solver = AMGSolver(A, params, krylov, hierarchy=hierarchy)
+    if args.save_hierarchy:
+        from .utils.serialize import save_hierarchy
+        save_hierarchy(args.save_hierarchy, solver.hierarchy)
+
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            res = solver.solve(b)
+    else:
+        res = solver.solve(b)
     nnz = A.nnz
     out = {
         "problem": name, "n": A.shape[0], "nnz": int(nnz),

@@ -77,7 +77,7 @@ class DistDf64:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "dinv", "l1_dinv", "lam_max", "P", "R",
-                      "coarse_inv"],
+                      "coarse_inv", "L", "U"],
          meta_fields=["n", "axis"])
 @dataclasses.dataclass(frozen=True)
 class DistLevel:
@@ -90,8 +90,10 @@ class DistLevel:
     P: object | None           # DistEll coarse->fine (None on coarsest)
     R: object | None           # DistEll fine->coarse
     coarse_inv: jax.Array | None  # (nd, n_loc, ncp) row-slice of A_c^-1
-    n: int
-    axis: str
+    L: object | None = None    # strict lower triangle (two-stage GS)
+    U: object | None = None    # strict upper triangle
+    n: int = 0
+    axis: str = "rows"
 
     def coarse_solve(self, b_loc: jax.Array) -> jax.Array:
         """x_loc = (A_c^-1 b)_loc: all_gather b, multiply the local row
@@ -169,9 +171,19 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
             coarse_inv = jnp.asarray(
                 dense.reshape(nd, part.n_loc, ncp), dtype=dtype)
 
+        L = U = None
+        if params.smoother == "gs2" and coarse_inv is None:
+            conv = lambda T: csr_to_dist(
+                T.tocsr(), part, part, dtype=dtype, axis=axis,
+                prefer_dia=params.prefer_dia,
+                dia_max_bands=params.dia_max_bands,
+                dense_size=params.dense_size)
+            L = conv(sp.tril(A, -1))
+            U = conv(sp.triu(A, 1))
+
         levels.append(DistLevel(
             A=dev_A, dinv=dinv, l1_dinv=l1_dinv, lam_max=lam_max,
-            P=P, R=R, coarse_inv=coarse_inv, n=n, axis=axis))
+            P=P, R=R, coarse_inv=coarse_inv, L=L, U=U, n=n, axis=axis))
     return DistHierarchy(levels=tuple(levels), parts=tuple(parts), nd=nd,
                          axis=axis)
 

@@ -35,7 +35,10 @@ class AMGParams:
     coarse_size: int = 64              # stop coarsening at/below this n
     jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
     # --- solve phase ---
-    smoother: str = "jacobi"           # jacobi | l1jacobi | chebyshev | sor2
+    smoother: str = "jacobi"           # jacobi | l1jacobi | chebyshev | gs2
+    gs_stages: int = 2                 # inner Jacobi stages approximating the
+                                       # triangular solve in two-stage GS
+                                       # (PAPERS.md arXiv:2104.01196)
     jacobi_omega: float = 2.0 / 3.0
     cheby_degree: int = 3
     cheby_lower_frac: float = 1.0 / 30.0  # lower bound = frac * lambda_max

@@ -37,8 +37,10 @@ def _cycle(levels, l, b, x, params, shape):
     else:
         raise ValueError(f"unknown cycle {shape!r}")
     x = x + spmv(lev.P, ec)
-    # post-smooth
-    x = smooth(lev, b, x, params, zero_start=False, sweeps=params.nu2)
+    # post-smooth (backward direction for direction-dependent smoothers,
+    # keeping the cycle symmetric as a PCG preconditioner)
+    x = smooth(lev, b, x, params, zero_start=False, sweeps=params.nu2,
+               backward=True)
     return x
 
 

@@ -25,7 +25,7 @@ from ..ops.formats import (csr_to_device, csr_to_ell, csr_to_dense,
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "dinv", "l1_dinv", "lam_max", "P", "R",
-                      "coarse_inv"],
+                      "coarse_inv", "L", "U"],
          meta_fields=["n"])
 @dataclasses.dataclass(frozen=True)
 class DeviceLevel:
@@ -36,7 +36,9 @@ class DeviceLevel:
     P: object | None          # EllMatrix (n_pad x nc_pad) or None on coarsest
     R: object | None          # EllMatrix (nc_pad x n_pad) or None on coarsest
     coarse_inv: jax.Array | None  # dense (n_pad x n_pad) inverse on coarsest
-    n: int                    # logical size
+    L: object | None = None   # strict lower triangle (two-stage GS)
+    U: object | None = None   # strict upper triangle
+    n: int = 0                # logical size
 
     @property
     def n_pad(self) -> int:
@@ -125,11 +127,20 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
             dense[:n, :n] = np.linalg.inv(A.toarray())
             coarse_inv = jnp.asarray(dense, dtype=dtype)
 
+        L = U = None
+        if params.smoother == "gs2" and coarse_inv is None:
+            conv = lambda T: csr_to_device(
+                T.tocsr(), dtype=dtype, prefer_dia=params.prefer_dia,
+                dia_max_bands=params.dia_max_bands,
+                dense_size=params.dense_size)
+            L = conv(sp.tril(A, -1))
+            U = conv(sp.triu(A, 1))
+
         levels.append(DeviceLevel(
             A=dev_A,
             dinv=jnp.asarray(dinv, dtype=dtype),
             l1_dinv=jnp.asarray(l1_dinv, dtype=dtype),
             lam_max=jnp.asarray(lam, dtype=dtype),
-            P=P, R=R, coarse_inv=coarse_inv, n=n,
+            P=P, R=R, coarse_inv=coarse_inv, L=L, U=U, n=n,
         ))
     return DeviceHierarchy(levels=tuple(levels))

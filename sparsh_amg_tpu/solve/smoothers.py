@@ -67,8 +67,34 @@ def chebyshev(level, b, x, degree: int, lower_frac: float,
     return x + d
 
 
-def smooth(level, b, x, params, zero_start: bool = False, sweeps: int = None):
-    """Dispatch on params.smoother."""
+def two_stage_gs(level, b, x, sweeps: int, stages: int = 2,
+                 backward: bool = False, zero_start: bool = False):
+    """Two-stage Gauss-Seidel (the TPU-native form of the reference's
+    hybrid GS, PAPERS.md arXiv:2104.01196): each sweep solves the
+    triangular system (D + L) z = r inexactly with `stages` Jacobi
+    iterations on the triangle:  z_0 = D^-1 r,  z_{k+1} = D^-1 (r - L z_k).
+    `backward=True` uses U instead (post-smoothing direction), so a
+    pre-forward/post-backward pair keeps the V-cycle symmetric for PCG."""
+    T = level.U if backward else level.L
+    if T is None:
+        # triangles not built for this hierarchy — degrade to l1-Jacobi
+        return l1_jacobi(level, b, x, sweeps, zero_start)
+    for s in range(sweeps):
+        if zero_start and s == 0:
+            r = b
+        else:
+            r = b - spmv(level.A, x)
+        z = level.dinv * r
+        for _ in range(stages - 1):
+            z = level.dinv * (r - spmv(T, z))
+        x = z if (zero_start and s == 0) else x + z
+    return x
+
+
+def smooth(level, b, x, params, zero_start: bool = False, sweeps: int = None,
+           backward: bool = False):
+    """Dispatch on params.smoother.  `backward` selects the sweep direction
+    for direction-dependent smoothers (two-stage GS)."""
     name = params.smoother
     if name == "jacobi":
         nu = sweeps if sweeps is not None else params.nu1
@@ -79,4 +105,8 @@ def smooth(level, b, x, params, zero_start: bool = False, sweeps: int = None):
     if name == "chebyshev":
         return chebyshev(level, b, x, params.cheby_degree,
                          params.cheby_lower_frac, zero_start)
+    if name == "gs2":
+        nu = sweeps if sweeps is not None else params.nu1
+        return two_stage_gs(level, b, x, nu, params.gs_stages, backward,
+                            zero_start)
     raise ValueError(f"unknown smoother {name!r}")

@@ -104,3 +104,27 @@ def test_rcm_reorder_scrambled_poisson():
     r = s.solve(b)
     assert r.converged
     assert np.linalg.norm(b - As @ r.x) / np.linalg.norm(b) <= 1e-8
+
+
+def test_two_stage_gs_smoother():
+    """gs2 (two-stage Gauss-Seidel, the hybrid-GS analogue) converges and
+    beats plain Jacobi on iteration count."""
+    A = poisson2d(32)
+    b = np.random.default_rng(6).standard_normal(A.shape[0])
+    r_gs = AMGSolver(A, AMGParams(smoother="gs2"),
+                     KrylovParams(tol=1e-8)).solve(b)
+    r_j = AMGSolver(A, AMGParams(smoother="jacobi"),
+                    KrylovParams(tol=1e-8)).solve(b)
+    assert r_gs.converged
+    assert np.linalg.norm(b - A @ r_gs.x) / np.linalg.norm(b) <= 1e-8
+    assert r_gs.iterations <= r_j.iterations
+
+
+def test_two_stage_gs_dist():
+    from sparsh_amg_tpu.parallel import DistAMGSolver
+    A = poisson2d(24)
+    b = np.random.default_rng(7).standard_normal(A.shape[0])
+    r = DistAMGSolver(A, params=AMGParams(smoother="gs2", coarse_size=40),
+                      krylov=KrylovParams(tol=1e-8)).solve(b)
+    assert r.converged
+    assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
