@@ -51,6 +51,28 @@ def spmv_equiv_per_iter(params) -> float:
     return level_sum + 1.0
 
 
+def _wait_for_device(max_tries: int = 30):
+    """The TPU tunnel backend serializes clients and can refuse
+    registration transiently; registration happens at interpreter start,
+    so on failure re-exec this process for a fresh attempt."""
+    import os
+    import sys
+    import jax
+    try:
+        jax.devices()
+        import jax.numpy as jnp
+        jnp.ones(8).block_until_ready()
+        return
+    except RuntimeError as e:
+        tries = int(os.environ.get("SPARSH_BENCH_RETRY", "0"))
+        if tries >= max_tries:
+            raise
+        print(f"# device init failed (try {tries}): {e}", flush=True)
+        os.environ["SPARSH_BENCH_RETRY"] = str(tries + 1)
+        time.sleep(20)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=192,
@@ -60,6 +82,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    _wait_for_device()
     from sparsh_amg_tpu.models.poisson import poisson3d
     from sparsh_amg_tpu.params import AMGParams, KrylovParams
     from sparsh_amg_tpu.solve.solver import AMGSolver
