@@ -96,8 +96,73 @@ class DistAMGSolver:
             return shmap(body, (Pr, Pr, Pn), (Pr, Pn, Pn))(
                 levels_st, b_st, tol)
 
-        self._inner_solve = jax.jit(inner_solve,
-                                    static_argnames=("maxiter",))
+        self._inner_solve_dev = jax.jit(inner_solve,
+                                        static_argnames=("maxiter",))
+
+        # -- host-chunked mode (see solve.krylov: the reference's GPU-driver
+        # pattern; chunk of fori iterations per dispatch, convergence read
+        # back on host) -------------------------------------------------
+        from ..solve.krylov import (pcg_init, pcg_step, bicgstab_init,
+                                    bicgstab_step)
+        is_cg = kr.method == "cg"
+        n_vec = 4                       # state[0:4] are vectors in both methods
+        n_state = 7 if is_cg else 10
+        st_specs = tuple(Pr if i < n_vec else Pn for i in range(n_state))
+
+        def _mk(levels_s):
+            levels = local(levels_s)
+            mv = lambda v: levels[0].A.spmv(v)
+            pc = lambda r: cycle(levels, r)
+            dotf = lambda x, y: pdot(x, y, axis,
+                                     compensated=kr.compensated_dots)
+            return mv, pc, dotf
+
+        def _squeeze(st):
+            return tuple(v[0] if i < n_vec else v for i, v in enumerate(st))
+
+        def _stack(st):
+            return tuple(v[None] if i < n_vec else v
+                         for i, v in enumerate(st))
+
+        def kr_init(levels_st, b_st):
+            def body(levels_s, b_s):
+                mv, pc, dotf = _mk(levels_s)
+                b = b_s[0]
+                st = (pcg_init(mv, pc, b, dotf) if is_cg
+                      else bicgstab_init(mv, b, dotf))
+                return _stack(st)
+            return shmap(body, (Pr, Pr), st_specs)(levels_st, b_st)
+
+        def kr_chunk(levels_st, rhat_st, state):
+            def body(levels_s, rhat_s, st):
+                mv, pc, dotf = _mk(levels_s)
+                st = _squeeze(st)
+                if is_cg:
+                    step = lambda i, s: pcg_step(mv, pc, dotf, s)
+                else:
+                    rhat = rhat_s[0]
+                    step = lambda i, s: bicgstab_step(mv, pc, dotf, rhat, s)
+                return _stack(jax.lax.fori_loop(0, kr.chunk, step, st))
+            return shmap(body, (Pr, Pr, st_specs), st_specs)(
+                levels_st, rhat_st, state)
+
+        self._kr_init = jax.jit(kr_init)
+        self._kr_chunk = jax.jit(kr_chunk)
+
+        def refine_residual(Adf_st, b_hi, b_lo, x_hi, x_lo):
+            def body(Adf_s, bh_s, bl_s, xh_s, xl_s):
+                Adf = local(Adf_s)
+                r_hi, r_lo = Adf.residual_df64(bh_s[0], bl_s[0], xh_s[0],
+                                               xl_s[0])
+                return r_hi[None]
+            return shmap(body, (Pr,) * 5, Pr)(Adf_st, b_hi, b_lo, x_hi, x_lo)
+
+        self._refine_residual = jax.jit(refine_residual)
+
+        def refine_update(x_hi, x_lo, d):
+            return df64.add(x_hi, x_lo, d, jnp.zeros_like(d))
+
+        self._refine_update = jax.jit(refine_update)
 
         def refine_step(levels_st, Adf_st, b_hi, b_lo, x_hi, x_lo, tol,
                         maxiter):
@@ -143,6 +208,32 @@ class DistAMGSolver:
             jnp.asarray(v_np, dtype=jnp.float32),
             NamedSharding(self.mesh, P(self.axis)))
 
+    def _inner_solve(self, levels, b_st, tol, maxiter):
+        """Inner fp32 solve; dispatches on loop_mode (see solve.solver).
+        b_st is the stacked (nd, n_loc) rhs.  Returns (x_st, iters, rel)."""
+        kr = self.krylov
+        if kr.loop_mode == "device":
+            x, it, rel = self._inner_solve_dev(levels, b_st, tol, kr.maxiter)
+            return x, int(it), float(rel)
+        is_cg = kr.method == "cg"
+        i_rr, i_k = (5, 6) if is_cg else (7, 8)
+        state = self._kr_init(levels, b_st)
+        rr0 = float(state[i_rr])
+        if rr0 == 0.0:
+            return state[0], 0, 0.0
+        target = (tol * tol) * rr0
+        iters = 0
+        rr = rr0
+        while iters < maxiter:
+            state = self._kr_chunk(levels, b_st, state)
+            rr = float(state[i_rr])
+            iters = int(state[i_k])
+            if rr <= target or not np.isfinite(rr):
+                break
+            if not is_cg and bool(state[9]):
+                break
+        return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
+
     # -- public API --------------------------------------------------------
     def solve(self, b: np.ndarray, tol: float | None = None,
               maxiter: int | None = None) -> SolveResult:
@@ -166,13 +257,11 @@ class DistAMGSolver:
         if not kr.refine:
             x, iters, relres = self._inner_solve(self.levels, b_hi, tol,
                                                  maxiter)
-            x = self.part.unpad_vec(np.asarray(jax.device_get(x),
-                                               dtype=np.float64))
-            relres = float(relres)
+            x = self.part.unpad_vec(np.asarray(
+                jax.device_get(x), dtype=np.float64).reshape(-1))
             return SolveResult(self._unperm(x), relres <= tol, relres,
-                               int(iters), 1, self.setup_time,
-                               time.perf_counter() - t0,
-                               [(int(iters), relres)])
+                               iters, 1, self.setup_time,
+                               time.perf_counter() - t0, [(iters, relres)])
 
         zeros = np.zeros((self.nd, self.part.n_loc), dtype=np.float32)
         x_hi, x_lo = self._put(zeros), self._put(zeros)
@@ -183,9 +272,18 @@ class DistAMGSolver:
             budget = maxiter - total_iters
             if budget <= 0:
                 break
-            x_hi, x_lo, iters = self._refine_step(
-                self.levels, self.A_df, b_hi, b_lo, x_hi, x_lo,
-                max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1), maxiter)
+            pass_tol = max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1)
+            if kr.loop_mode == "device":
+                x_hi, x_lo, iters = self._refine_step(
+                    self.levels, self.A_df, b_hi, b_lo, x_hi, x_lo,
+                    pass_tol, maxiter)
+                iters = int(iters)
+            else:
+                r_hi = self._refine_residual(self.A_df, b_hi, b_lo,
+                                             x_hi, x_lo)
+                d, iters, _ = self._inner_solve(self.levels, r_hi, pass_tol,
+                                                budget)
+                x_hi, x_lo = self._refine_update(x_hi, x_lo, d)
             passes += 1
             total_iters += int(iters)
             rnsq = float(self._true_resnorm(self.A_df, b_hi, b_lo,
