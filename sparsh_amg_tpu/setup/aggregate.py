@@ -61,8 +61,29 @@ def tentative_prolongator(agg: np.ndarray, n_agg: int) -> sp.csr_matrix:
 
 
 def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
-                       omega: float = 2.0 / 3.0) -> sp.csr_matrix:
-    """One damped-Jacobi smoothing step: P = (I - omega D^-1 A) P_tent."""
+                       omega: float = 2.0 / 3.0,
+                       strong_mask: np.ndarray | None = None) -> sp.csr_matrix:
+    """One damped-Jacobi smoothing step: P = (I - omega D_f^-1 A_f) P_tent.
+
+    When `strong_mask` is given, A is FILTERED first: weak off-diagonal
+    entries are dropped and lumped into the diagonal (pyamg/ML practice).
+    Smoothing with the unfiltered operator lets each level's P inherit the
+    coarse operator's growing stencil and Galerkin complexity explodes
+    (observed opC 10.5 on 64^3 Poisson without filtering, 1.5 with)."""
+    if strong_mask is not None:
+        n = A.shape[0]
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        dmask = A.indices == rows
+        keep = strong_mask | dmask
+        lump = np.zeros(n)
+        np.add.at(lump, rows, np.where(~keep, A.data, 0.0))
+        data_f = np.where(keep, A.data, 0.0)
+        data_f = np.where(dmask, data_f + lump[rows], data_f)
+        # copy index arrays: eliminate_zeros() mutates them in place and
+        # they must not be shared with the caller's matrix
+        A = sp.csr_matrix((data_f, A.indices.copy(), A.indptr.copy()),
+                          shape=A.shape)
+        A.eliminate_zeros()
     d = A.diagonal()
     dinv = np.where(d != 0, 1.0 / d, 0.0)
     Dinv_A = sp.diags(dinv) @ A

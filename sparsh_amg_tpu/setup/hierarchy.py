@@ -79,13 +79,14 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
         P = truncate_rows(P, params.interp_max)
         return P, cf, None
     elif params.coarsening == "aggregation":
-        _, S = symmetric_strength(A, params.agg_theta)
+        strong_mask, S = symmetric_strength(A, params.agg_theta)
         agg, n_agg = greedy_aggregation(S)
         if n_agg == 0 or n_agg >= A.shape[0]:
             return None
         P = tentative_prolongator(agg, n_agg)
         if params.interpolation == "smoothed":
-            P = smooth_prolongator(A, P, params.jacobi_omega_smooth_P)
+            P = smooth_prolongator(A, P, params.jacobi_omega_smooth_P,
+                                   strong_mask=strong_mask)
         return P, None, agg
     raise ValueError(f"unknown coarsening {params.coarsening!r}")
 
