@@ -97,6 +97,17 @@ def get_lib():
         lib.rcm_order.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int32),
         ]
+        lib.spgemm_symbolic.restype = _i64
+        lib.spgemm_symbolic.argtypes = [
+            _i64, _i64, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.int64),
+        ]
+        lib.spgemm_numeric.restype = None
+        lib.spgemm_numeric.argtypes = [
+            _i64, _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+        ]
         _LIB = lib
         _TRIED = True
         return _LIB

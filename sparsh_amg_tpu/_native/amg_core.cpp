@@ -444,4 +444,80 @@ int64_t rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// SpGEMM: C = A (n x k) * B (k x m), CSR, OpenMP row-parallel, dense
+// accumulator per thread (SURVEY.md C6: the setup-phase hot spot — Galerkin
+// RAP; scipy's single-threaded SpGEMM dominates setup time at n >= 10^7).
+// Two-phase: symbolic row counts, then numeric fill into preallocated
+// arrays.  Column order within a row follows first-touch (unsorted); the
+// caller (scipy csr_matrix) tolerates unsorted indices and sum_duplicates
+// is unnecessary because the accumulator already merges duplicates.
+// ---------------------------------------------------------------------------
+
+int64_t spgemm_symbolic(int64_t n, int64_t m,
+                        const int64_t* A_indptr, const int32_t* A_indices,
+                        const int64_t* B_indptr, const int32_t* B_indices,
+                        int64_t* C_indptr) {
+  std::vector<int64_t> counts(n, 0);
+#pragma omp parallel
+  {
+    std::vector<int32_t> mark(m, -1);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t cnt = 0;
+      const int32_t im = (int32_t)i;
+      for (int64_t ka = A_indptr[i]; ka < A_indptr[i + 1]; ++ka) {
+        const int32_t j = A_indices[ka];
+        for (int64_t kb = B_indptr[j]; kb < B_indptr[j + 1]; ++kb) {
+          const int32_t c = B_indices[kb];
+          if (mark[c] != im) {
+            mark[c] = im;
+            ++cnt;
+          }
+        }
+      }
+      counts[i] = cnt;
+    }
+  }
+  C_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) C_indptr[i + 1] = C_indptr[i] + counts[i];
+  return C_indptr[n];
+}
+
+void spgemm_numeric(int64_t n, int64_t m,
+                    const int64_t* A_indptr, const int32_t* A_indices,
+                    const double* A_data,
+                    const int64_t* B_indptr, const int32_t* B_indices,
+                    const double* B_data,
+                    const int64_t* C_indptr, int32_t* C_indices,
+                    double* C_data) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> pos(m, -1);   // column -> slot in current row
+    std::vector<double> acc(m, 0.0);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t start = C_indptr[i];
+      int64_t cnt = 0;
+      for (int64_t ka = A_indptr[i]; ka < A_indptr[i + 1]; ++ka) {
+        const int32_t j = A_indices[ka];
+        const double va = A_data[ka];
+        for (int64_t kb = B_indptr[j]; kb < B_indptr[j + 1]; ++kb) {
+          const int32_t c = B_indices[kb];
+          if (pos[c] < start) {        // not yet in this row
+            pos[c] = start + cnt;
+            C_indices[start + cnt] = c;
+            acc[c] = va * B_data[kb];
+            ++cnt;
+          } else {
+            acc[c] += va * B_data[kb];
+          }
+        }
+      }
+      for (int64_t s = start; s < start + cnt; ++s)
+        C_data[s] = acc[C_indices[s]];
+    }
+  }
+}
+
 }  // extern "C"

@@ -1,18 +1,54 @@
 """Galerkin coarse operator A_coarse = R A P = P^T A P (SURVEY.md §2 C13).
 
-The reference does the triple SpGEMM natively; here scipy's C SpGEMM does the
-host-side product (the setup-phase hot spot, SURVEY.md §3.2).
+The reference does the triple SpGEMM natively; here a row-parallel OpenMP
+C++ SpGEMM (amg_core.cpp) does the host-side product — the setup-phase hot
+spot (SURVEY.md §3.2) where scipy's single-threaded product dominates setup
+time at n >= 10^7 — with scipy as the always-available fallback.
 """
 from __future__ import annotations
 
+import numpy as np
 import scipy.sparse as sp
 
+from .._native import get_lib, csr_arrays
 
-def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
-    """Compute P^T A P, pruning explicit zeros."""
-    AP = A @ P
-    Ac = (P.T.tocsr() @ AP).tocsr()
+
+def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
+    """C = A @ B, picking the faster engine per product shape.
+
+    The native OpenMP kernel wins when rows do enough work to amortize its
+    dense per-thread accumulator (measured: R@(AP) 3.5s vs scipy 10.6s at
+    2M rows); scipy wins on skinny products (A@P 0.5s vs native 4.7s).
+    """
+    n, k = A.shape
+    k2, m = B.shape
+    assert k == k2
+    lib = get_lib()
+    # expected accumulator touches per output row
+    est = (A.nnz / max(n, 1)) * (B.nnz / max(k, 1))
+    if lib is None or est < 100.0:
+        return (A @ B).tocsr()
+    A_indptr, A_indices, A_data = csr_arrays(A)
+    B_indptr, B_indices, B_data = csr_arrays(B)
+    C_indptr = np.empty(n + 1, dtype=np.int64)
+    nnz = lib.spgemm_symbolic(n, m, A_indptr, A_indices, B_indptr,
+                              B_indices, C_indptr)
+    C_indices = np.empty(nnz, dtype=np.int32)
+    C_data = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_numeric(n, m, A_indptr, A_indices, A_data,
+                       B_indptr, B_indices, B_data,
+                       C_indptr, C_indices, C_data)
+    C = sp.csr_matrix((C_data, C_indices, C_indptr), shape=(n, m))
+    C.sort_indices()
+    return C
+
+
+def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
+                     R: sp.csr_matrix | None = None) -> sp.csr_matrix:
+    """Compute R A P (R defaults to P^T), pruning explicit zeros."""
+    if R is None:
+        R = P.T.tocsr()
+    Ac = spgemm(R, spgemm(A, P))
     Ac.sum_duplicates()
     Ac.eliminate_zeros()
-    # drop numerically negligible fill-in to keep coarse stencils compact
     return Ac

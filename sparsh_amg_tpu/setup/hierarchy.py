@@ -19,6 +19,7 @@ from .splitting import rs_splitting, pmis_splitting
 from .interp import direct_interpolation, truncate_rows
 from .aggregate import (greedy_aggregation, tentative_prolongator,
                         smooth_prolongator)
+from .galerkin import galerkin_product
 
 
 @dataclasses.dataclass
@@ -104,9 +105,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None) -> Hierarchy:
             break
         P, cf, agg = out
         R = P.T.tocsr()
-        Ac = (R @ (levels[-1].A @ P)).tocsr()
-        Ac.sum_duplicates()
-        Ac.eliminate_zeros()
+        Ac = galerkin_product(levels[-1].A, P, R)
         levels[-1].P = P
         levels[-1].R = R
         levels[-1].cf = cf

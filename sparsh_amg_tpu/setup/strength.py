@@ -41,11 +41,11 @@ def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
 
 
 def _mask_indptr(A: sp.csr_matrix, mask: np.ndarray) -> np.ndarray:
-    """indptr of the masked CSR."""
-    counts = np.zeros(A.shape[0], dtype=np.int64)
-    rows = _rows_of_nnz(A)
-    np.add.at(counts, rows, mask.astype(np.int64))
-    return np.concatenate([[0], np.cumsum(counts)])
+    """indptr of the masked CSR: kept-entry prefix sum sampled at the old
+    row starts (no per-nnz rows array; ~100x cheaper than np.add.at)."""
+    csum = np.zeros(len(mask) + 1, dtype=np.int64)
+    np.cumsum(mask, out=csum[1:])
+    return csum[A.indptr]
 
 
 def symmetric_strength(A: sp.csr_matrix, theta: float = 0.25):
