@@ -57,12 +57,22 @@ def truncate_rows(P: sp.csr_matrix, max_per_row: int) -> sp.csr_matrix:
         return P
     n = P.shape[0]
     rows = np.repeat(np.arange(n, dtype=np.int64), nnzr)
-    # stable sort by (row, -|w|): entries stay grouped by row
-    order = np.lexsort((-np.abs(P.data), rows))
-    rank = np.arange(P.nnz, dtype=np.int64) - np.repeat(
-        P.indptr[:-1].astype(np.int64), nnzr)
-    keep = np.empty(P.nnz, dtype=bool)
-    keep[order] = rank < max_per_row
+    # rank entries only within over-wide rows (usually a small minority;
+    # sorting every nnz costs seconds at 10^7 scale)
+    wide = nnzr > max_per_row
+    sel = wide[rows]
+    keep = np.ones(P.nnz, dtype=bool)
+    rs, ds = rows[sel], P.data[sel]
+    order = np.lexsort((-np.abs(ds), rs))
+    # rank within each selected row: position in sorted order minus the
+    # first position of that row
+    sel_nnzr = nnzr[wide]
+    starts = np.repeat(np.concatenate([[0], np.cumsum(sel_nnzr[:-1])]),
+                       sel_nnzr)
+    rank = np.arange(len(rs), dtype=np.int64) - starts
+    keep_sel = np.empty(len(rs), dtype=bool)
+    keep_sel[order] = rank < max_per_row
+    keep[np.flatnonzero(sel)] = keep_sel
 
     def rowsum(mask):
         out = np.zeros(n)
