@@ -76,8 +76,10 @@ def dia_spmv_pallas(bands: jax.Array, x: jax.Array, offsets: tuple,
     H = _round_up(maxoff, LANE) if maxoff else 0
     rows = n_pad // LANE
 
-    # tile size: as large as VMEM comfortably allows
-    budget_rows = (8 * 1024 * 1024 // 4 // LANE) // (D + 3)
+    # tile size: as large as VMEM comfortably allows.  Pallas double-buffers
+    # the streamed bands/y blocks (2x), and the x window adds R + 2H/128
+    # rows of scratch; budget well under the 16 MB scoped-vmem limit.
+    budget_rows = (4 * 1024 * 1024 // 4 // LANE) // (2 * D + 4)
     R = max(1, min(rows, budget_rows))
     while rows % R:
         R -= 1

@@ -32,7 +32,11 @@ class AMGParams:
     interp_max: int = 5                # max interpolation entries per row
                                        # (hypre P_max_elmts; 0 = no limit)
     max_levels: int = 25
-    coarse_size: int = 64              # stop coarsening at/below this n
+    coarse_size: int = 1024            # stop coarsening at/below this n:
+                                       # the MXU dense inverse is cheap up
+                                       # to a few thousand rows, and every
+                                       # level saved removes a full smoother
+                                       # + transfer stage from the cycle
     jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
     # --- solve phase ---
     smoother: str = "jacobi"           # jacobi | l1jacobi | chebyshev | gs2

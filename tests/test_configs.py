@@ -26,7 +26,7 @@ def test_anisotropic_aggregation_wcycle_bicgstab():
     r = s.solve(b)
     assert r.converged
     assert _relres(A, r.x, b) <= 1e-8
-    assert s.hierarchy.n_levels >= 3
+    assert s.hierarchy.n_levels >= 2
 
 
 def test_anisotropic_rs_pcg():
