@@ -82,6 +82,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: tunnel/TPU compiles of the big unrolled
+    # chunk programs are slow; cache them across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_sparsh_amg")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _wait_for_device()
     from sparsh_amg_tpu.models.poisson import poisson3d
     from sparsh_amg_tpu.params import AMGParams, KrylovParams

@@ -137,12 +137,13 @@ class DistAMGSolver:
             def body(levels_s, rhat_s, st):
                 mv, pc, dotf = _mk(levels_s)
                 st = _squeeze(st)
-                if is_cg:
-                    step = lambda i, s: pcg_step(mv, pc, dotf, s)
-                else:
-                    rhat = rhat_s[0]
-                    step = lambda i, s: bicgstab_step(mv, pc, dotf, rhat, s)
-                return _stack(jax.lax.fori_loop(0, kr.chunk, step, st))
+                # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
+                for _ in range(kr.chunk):
+                    if is_cg:
+                        st = pcg_step(mv, pc, dotf, st)
+                    else:
+                        st = bicgstab_step(mv, pc, dotf, rhat_s[0], st)
+                return _stack(st)
             return shmap(body, (Pr, Pr, st_specs), st_specs)(
                 levels_st, rhat_st, state)
 

@@ -91,9 +91,13 @@ def pcg_chunk(matvec, precond, chunk: int, compensated: bool = False,
         return pcg_init(matvec, precond, b, _dot, x0)
 
     def chunk_fn(state):
-        return jax.lax.fori_loop(
-            0, chunk, lambda i, st: pcg_step(matvec, precond, _dot, st),
-            state)
+        # trace-time unroll (python loop, straight-line XLA): backends that
+        # execute loop bodies op-by-op (remote/tunnel dispatch) run
+        # straight-line programs orders of magnitude faster, and on real
+        # hardware XLA schedules the unrolled chunk at least as well
+        for _ in range(chunk):
+            state = pcg_step(matvec, precond, _dot, state)
+        return state
 
     return init_fn, chunk_fn
 
@@ -178,9 +182,8 @@ def bicgstab_chunk(matvec, precond, chunk: int, compensated: bool = False,
         return bicgstab_init(matvec, b, _dot, x0)
 
     def chunk_fn(rhat, state):
-        return jax.lax.fori_loop(
-            0, chunk,
-            lambda i, st: bicgstab_step(matvec, precond, _dot, rhat, st),
-            state)
+        for _ in range(chunk):          # trace-time unroll (see pcg_chunk)
+            state = bicgstab_step(matvec, precond, _dot, rhat, state)
+        return state
 
     return init_fn, chunk_fn

@@ -114,11 +114,13 @@ class AMGSolver:
 
         def kr_chunk(levels, rhat, state):
             mv, pc = _ops(levels)
-            if is_cg:
-                step = lambda i, st: pcg_step(mv, pc, _dot, st)
-            else:
-                step = lambda i, st: bicgstab_step(mv, pc, _dot, rhat, st)
-            return jax.lax.fori_loop(0, kr.chunk, step, state)
+            # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
+            for _ in range(kr.chunk):
+                if is_cg:
+                    state = pcg_step(mv, pc, _dot, state)
+                else:
+                    state = bicgstab_step(mv, pc, _dot, rhat, state)
+            return state
 
         self._kr_init = jax.jit(kr_init)
         self._kr_chunk = jax.jit(kr_chunk)
