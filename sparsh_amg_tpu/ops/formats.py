@@ -29,13 +29,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 # Pallas DIA kernel dispatch: TPU backend, level big enough to amortize the
-# kernel launch.  SPARSH_NO_PALLAS=1 forces the XLA fallback everywhere.
+# kernel launch.  Currently OPT-IN via SPARSH_PALLAS=1: the kernel passes
+# the interpret-mode oracle but faulted the worker on one real-TPU
+# configuration (async-copy path under investigation); the XLA shifted-FMA
+# fallback is always correct.
 _PALLAS_DIA_MIN = 1 << 15
 
 
 def _use_pallas_dia(n_pad: int) -> bool:
     import os
-    if os.environ.get("SPARSH_NO_PALLAS"):
+    if not os.environ.get("SPARSH_PALLAS"):
         return False
     try:
         return (jax.default_backend() == "tpu" and n_pad >= _PALLAS_DIA_MIN)
