@@ -58,18 +58,21 @@ class Df64Matrix:
 
 
 def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
-                dia_max_bands: int = 32) -> Df64Matrix:
+                dia_max_bands: int = 32,
+                pad_multiple: int = 1024) -> Df64Matrix:
     """Build a df64 device operator from a host float64 CSR matrix."""
     A_hi_host = A.copy()
     A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
     lo_host = A.copy()
     lo_host.data = A.data - A_hi_host.data
     A_hi = csr_to_device(A_hi_host, dtype=jnp.float32, prefer_dia=prefer_dia,
-                         dia_max_bands=dia_max_bands)
+                         dia_max_bands=dia_max_bands,
+                         pad_multiple=pad_multiple)
     # lo shares A's sparsity pattern exactly (no eliminate_zeros), so the
     # format choice and slot/band layout are identical.
     lo_dev = csr_to_device(lo_host, dtype=jnp.float32, prefer_dia=prefer_dia,
-                           dia_max_bands=dia_max_bands)
+                           dia_max_bands=dia_max_bands,
+                           pad_multiple=pad_multiple)
     if isinstance(A_hi, DiaMatrix):
         assert isinstance(lo_dev, DiaMatrix) and lo_dev.offsets == A_hi.offsets
         return Df64Matrix(A_hi=A_hi, lo=lo_dev.bands)

@@ -4,30 +4,28 @@ phase (SURVEY.md §2 C4/C5: the reference's OpenMP/cuSPARSE SpMV; north star
 
 y[j] = sum_d bands[d, j] * x[j + off_d]
 
-The XLA fallback (formats.DiaMatrix.spmv) materializes one shifted copy of
-x per diagonal: ~(2D+2) streams of HBM traffic for D diagonals.  This
-kernel streams each row-tile of x into VMEM ONCE and realizes every
-diagonal shift on-chip with sublane slices + lane rolls, for (D+2) streams
-— the memory-bound speed-of-light for the format.
+Design (v2, DMA-free): x is padded by one full row-tile of zeros on each
+side; output tile i then needs x rows [i*R + R - h, i*R + 2R + h), which
+(for h <= R) lies inside x-tiles {i, i+1, i+2}.  Those three tiles arrive
+as ordinary pipelined BlockSpec inputs — no manual DMA (manual
+async-copy + gridded inputs faults this TPU stack; bisected 2026-08-17) —
+are concatenated in VMEM, and every diagonal shift is realized on-chip:
+a flattened shift by `off` is q = off // 128 sublane rows plus r = off %
+128 lanes, the lane part being two `pltpu.roll`s and a lane-index select
+(elements crossing a 128-lane boundary come from the next sublane row).
 
-Layout: all operands reshaped to (rows, 128) so the lane dimension is the
-fastest axis.  A flattened shift by `off` decomposes as q = off // 128
-sublane rows + r = off % 128 lanes; the lane part is two `pltpu.roll`s and
-a lane-index select (elements that wrap a 128-lane boundary come from the
-next sublane row).
+HBM traffic: D band streams + 3 x streams + 1 y stream, vs ~(2D + 2) for
+the XLA shifted-FMA fallback — and the whole SpMV is ONE fused op.
 
-x is pre-padded with H = round_up(max|off|, 128) zeros on both sides, so
-every tile's extended window [i*T, i*T + T + 2H) is in bounds and the
-Dirichlet boundary needs no masking.
+Whole-kernel oracle in tests/test_pallas.py (interpret mode) and the
+device parity script (real TPU).
 """
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -38,30 +36,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _shifted(xs_block, q: int, r: int, R: int, lane_idx):
-    """rows [q, q+R) of the extended window, flat-shifted by r lanes."""
-    X1 = xs_block[q: q + R, :]
+def _shifted(xw, q: int, r: int, R: int, lane_idx):
+    """rows [q, q+R) of the window, flat-shifted left by r lanes."""
+    X1 = xw[q: q + R, :]
     if r == 0:
         return X1
-    X2 = xs_block[q + 1: q + R + 1, :]
+    X2 = xw[q + 1: q + R + 1, :]
     # left-shift by r lanes == non-negative circular roll by LANE - r
     return jnp.where(lane_idx < LANE - r,
                      pltpu.roll(X1, LANE - r, axis=1),
                      pltpu.roll(X2, LANE - r, axis=1))
 
 
-def _dia_kernel(x_hbm, bands_ref, y_ref, xs, sem, *, offsets, H, R):
-    i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * R, R + 2 * (H // LANE)), :], xs, sem)
-    dma.start()
-    dma.wait()
+def _dia_kernel(xc_ref, xa_ref, xb_ref, bands_ref, y_ref, *, offsets,
+                R: int):
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-    xv = xs[:]
+    # rows [i*R, i*R + 3R) of the padded x; the output window starts at
+    # local row R - h
+    xw = jnp.concatenate([xc_ref[:], xa_ref[:], xb_ref[:]], axis=0)
     acc = None
+    base = R * LANE       # flat start of the output tile inside the window
     for d, off in enumerate(offsets):
-        q, r = divmod(H + off, LANE)
-        seg = _shifted(xv, q, r, R, lane_idx)
+        q, r = divmod(base + off, LANE)
+        seg = _shifted(xw, q, r, R, lane_idx)
+        term = bands_ref[d] * seg
+        acc = term if acc is None else acc + term
+    y_ref[:] = acc
+
+
+def _dia_kernel_single(x_ref, bands_ref, y_ref, *, offsets, R: int):
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    xw = x_ref[:]
+    acc = None
+    base = R * LANE
+    for d, off in enumerate(offsets):
+        q, r = divmod(base + off, LANE)
+        seg = _shifted(xw, q, r, R, lane_idx)
         term = bands_ref[d] * seg
         acc = term if acc is None else acc + term
     y_ref[:] = acc
@@ -73,42 +83,69 @@ def dia_spmv_pallas(bands: jax.Array, x: jax.Array, offsets: tuple,
     """y = DIA(bands, offsets) @ x.  bands (D, n_pad), x (n_pad,)."""
     D = bands.shape[0]
     maxoff = max((abs(o) for o in offsets), default=0)
-    H = _round_up(maxoff, LANE) if maxoff else 0
+    h = -(-maxoff // LANE)              # halo in sublane rows
     rows = n_pad // LANE
 
-    # tile size: as large as VMEM comfortably allows.  Pallas double-buffers
-    # the streamed bands/y blocks (2x), and the x window adds R + 2H/128
-    # rows of scratch; budget well under the 16 MB scoped-vmem limit.
-    budget_rows = (4 * 1024 * 1024 // 4 // LANE) // (2 * D + 4)
-    R = max(1, min(rows, budget_rows))
-    while rows % R:
-        R -= 1
-    grid = rows // R
-
-    xp = jnp.concatenate([jnp.zeros(H, x.dtype), x, jnp.zeros(H, x.dtype)])
-    x2 = xp.reshape(-1, LANE)
+    # tile rows: multiple of 8 (TPU sublane block constraint), dividing
+    # rows, covering the halo, within VMEM budget (pipelined blocks are
+    # double-buffered: 2*(D+4) tiles resident)
+    budget_rows = (8 * 1024 * 1024 // 4 // LANE) // (2 * (D + 4))
+    R = None
+    for cand in range(8, rows + 1, 8):
+        if rows % cand or cand < h:
+            continue
+        if cand <= budget_rows or R is None:
+            R = cand
+        if cand > budget_rows:
+            break
+    cost = pl.CostEstimate(flops=2 * D * n_pad,
+                           bytes_accessed=4 * (D * n_pad + 4 * n_pad),
+                           transcendentals=0)
     b3 = bands.reshape(D, rows, LANE)
 
-    kernel = functools.partial(_dia_kernel, offsets=offsets, H=H, R=R)
+    if R is None:
+        # no valid tiling: single block, x fully VMEM-resident
+        R = rows
+        x2 = jnp.concatenate([
+            jnp.zeros((R, LANE), x.dtype), x.reshape(rows, LANE),
+            jnp.zeros((R, LANE), x.dtype)])
+        kernel = functools.partial(_dia_kernel_single, offsets=offsets,
+                                   R=R)
+        y2 = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x2, b3)
+        return y2.reshape(-1)
+
+    grid = rows // R
+    x2 = jnp.concatenate([
+        jnp.zeros((R, LANE), x.dtype),
+        x.reshape(rows, LANE),
+        jnp.zeros((R, LANE), x.dtype)])
+
+    kernel = functools.partial(_dia_kernel, offsets=offsets, R=R)
     y2 = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x (manual DMA)
+            pl.BlockSpec((R, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # x tile i
+            pl.BlockSpec((R, LANE), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),       # x tile i+1
+            pl.BlockSpec((R, LANE), lambda i: (i + 2, 0),
+                         memory_space=pltpu.VMEM),       # x tile i+2
             pl.BlockSpec((D, R, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),       # bands tile
         ],
         out_specs=pl.BlockSpec((R, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((R + 2 * (H // LANE), LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * D * n_pad,
-            bytes_accessed=4 * (D * n_pad + 2 * n_pad),
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=interpret,
-    )(x2, b3)
+    )(x2, x2, x2, b3)
     return y2.reshape(-1)

@@ -94,9 +94,13 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         A = lev.A
         n = A.shape[0]
         is_coarsest = li == len(hier.levels) - 1 or lev.P is None
+        # pad to 8*128: the Pallas DIA kernel tiles sublane rows in
+        # multiples of 8, so every level's n_pad must divide into 8-row
+        # tiles (formats.LANE alignment is 128; 1024 = 8 sublanes x 128)
         dev_A = csr_to_device(A, dtype=dtype, prefer_dia=params.prefer_dia,
                               dia_max_bands=params.dia_max_bands,
-                              dense_size=params.dense_size)
+                              dense_size=params.dense_size,
+                              pad_multiple=1024)
         n_pad = dev_A.n_pad
         d = A.diagonal()
         dinv = np.zeros(n_pad)
@@ -114,11 +118,11 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         if not is_coarsest:
             nc = lev.P.shape[1]
             if max(n, nc) <= params.dense_size:
-                P = csr_to_dense(lev.P, dtype=dtype)
-                R = csr_to_dense(lev.R, dtype=dtype)
+                P = csr_to_dense(lev.P, dtype=dtype, pad_multiple=1024)
+                R = csr_to_dense(lev.R, dtype=dtype, pad_multiple=1024)
             else:
-                P = csr_to_ell(lev.P, dtype=dtype)
-                R = csr_to_ell(lev.R, dtype=dtype)
+                P = csr_to_ell(lev.P, dtype=dtype, pad_multiple=1024)
+                R = csr_to_ell(lev.R, dtype=dtype, pad_multiple=1024)
                 # csr_to_ell pads rows to a multiple of 128; both levels use
                 # the same multiple so shapes line up with vectors.
                 assert P.n_pad >= n and R.n_cols <= n_pad
@@ -132,7 +136,7 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
             conv = lambda T: csr_to_device(
                 T.tocsr(), dtype=dtype, prefer_dia=params.prefer_dia,
                 dia_max_bands=params.dia_max_bands,
-                dense_size=params.dense_size)
+                dense_size=params.dense_size, pad_multiple=1024)
             L = conv(sp.tril(A, -1))
             U = conv(sp.triu(A, 1))
 
