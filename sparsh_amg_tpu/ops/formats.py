@@ -29,16 +29,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 # Pallas DIA kernel dispatch: TPU backend, level big enough to amortize the
-# kernel launch.  Currently OPT-IN via SPARSH_PALLAS=1: the kernel passes
-# the interpret-mode oracle but faulted the worker on one real-TPU
-# configuration (async-copy path under investigation); the XLA shifted-FMA
-# fallback is always correct.
-_PALLAS_DIA_MIN = 1 << 15
+# kernel launch.  SPARSH_NO_PALLAS=1 forces the XLA fallback everywhere.
+# (The v2 DMA-free kernel is bitwise-exact vs the XLA path on real TPU;
+# the earlier manual-async-copy design faulted the worker and was removed.)
+_PALLAS_DIA_MIN = 1 << 14
 
 
 def _use_pallas_dia(n_pad: int) -> bool:
     import os
-    if not os.environ.get("SPARSH_PALLAS"):
+    if os.environ.get("SPARSH_NO_PALLAS"):
         return False
     try:
         return (jax.default_backend() == "tpu" and n_pad >= _PALLAS_DIA_MIN)
