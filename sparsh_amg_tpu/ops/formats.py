@@ -150,6 +150,14 @@ def spmv(A, x: jax.Array) -> jax.Array:
     return A.spmv(x)
 
 
+def residual(A, x: jax.Array, b: jax.Array) -> jax.Array:
+    """r = b - A x, fused into one op on the Pallas DIA path."""
+    if isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad):
+        from .pallas_spmv import dia_residual
+        return dia_residual(A.bands, x, b, A.offsets, A.n_pad)
+    return b - A.spmv(x)
+
+
 # ---------------------------------------------------------------------------
 # Host -> device conversion
 # ---------------------------------------------------------------------------

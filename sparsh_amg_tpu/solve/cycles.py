@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.formats import spmv
+from ..ops.formats import spmv, residual
 from .smoothers import smooth
 
 
@@ -24,7 +24,7 @@ def _cycle(levels, l, b, x, params, shape):
     x = smooth(lev, b, jnp.zeros_like(b) if zero0 else x, params,
                zero_start=zero0, sweeps=params.nu1)
     # coarse-grid correction
-    r = b - spmv(lev.A, x)
+    r = residual(lev.A, x, b)
     rc = spmv(lev.R, r)
     if shape == "V":
         ec = _cycle(levels, l + 1, rc, None, params, "V")

@@ -11,33 +11,39 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.formats import spmv
+from ..ops.formats import spmv, DiaMatrix, _use_pallas_dia
+
+
+def _jacobi_like(A, b, x, sweeps, dinv, omega, zero_start):
+    """Shared weighted-Jacobi sweep loop; fuses each sweep into one Pallas
+    op on the DIA path."""
+    if sweeps <= 0:
+        return x
+    if zero_start:
+        x = omega * dinv * b if omega != 1.0 else dinv * b
+        sweeps -= 1
+    fused = isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad)
+    for _ in range(sweeps):
+        if fused:
+            from ..ops.pallas_spmv import dia_jacobi_sweep
+            x = dia_jacobi_sweep(A.bands, x, b, dinv, omega, A.offsets,
+                                 A.n_pad)
+        else:
+            x = x + omega * dinv * (b - spmv(A, x))
+    return x
 
 
 def jacobi(level, b, x, sweeps: int, omega: float, zero_start: bool = False):
     """Weighted Jacobi: x <- x + omega D^-1 (b - A x)."""
-    if sweeps <= 0:
-        return x
-    if zero_start:
-        x = omega * level.dinv * b
-        sweeps -= 1
-    for _ in range(sweeps):
-        x = x + omega * level.dinv * (b - spmv(level.A, x))
-    return x
+    return _jacobi_like(level.A, b, x, sweeps, level.dinv, omega, zero_start)
 
 
 def l1_jacobi(level, b, x, sweeps: int, zero_start: bool = False):
     """l1-Jacobi (hybrid-GS replacement): x <- x + D_l1^-1 (b - A x),
     D_l1 = diag(a_ii + sum_{j!=i} |a_ij|).  Unconditionally convergent
     smoother for SPD A (Baker, Falgout, Kolev, Yang 2011)."""
-    if sweeps <= 0:
-        return x
-    if zero_start:
-        x = level.l1_dinv * b
-        sweeps -= 1
-    for _ in range(sweeps):
-        x = x + level.l1_dinv * (b - spmv(level.A, x))
-    return x
+    return _jacobi_like(level.A, b, x, sweeps, level.l1_dinv, 1.0,
+                        zero_start)
 
 
 def chebyshev(level, b, x, degree: int, lower_frac: float,
@@ -53,16 +59,27 @@ def chebyshev(level, b, x, degree: int, lower_frac: float,
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
     rho = 1.0 / sigma
+    A = level.A
+    fused = isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad)
     if zero_start:
         r = level.dinv * b
+    elif fused:
+        from ..ops.pallas_spmv import dia_dinv_residual
+        r = dia_dinv_residual(A.bands, x, b, level.dinv, A.offsets, A.n_pad)
     else:
-        r = level.dinv * (b - spmv(level.A, x))
+        r = level.dinv * (b - spmv(A, x))
     d = r / theta
     for _ in range(degree - 1):
-        x = x + d
-        r = r - level.dinv * spmv(level.A, d)
         rho_new = 1.0 / (2.0 * sigma - rho)
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        if fused:
+            from ..ops.pallas_spmv import dia_cheb_step
+            x, r, d = dia_cheb_step(A.bands, x, d, r, level.dinv,
+                                    rho_new * rho, 2.0 * rho_new / delta,
+                                    A.offsets, A.n_pad)
+        else:
+            x = x + d
+            r = r - level.dinv * spmv(A, d)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
         rho = rho_new
     return x + d
 
