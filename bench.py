@@ -97,7 +97,8 @@ def main():
     A = poisson3d(nside)
     gen_s = time.perf_counter() - t0
 
-    params = AMGParams(smoother="chebyshev", cycle="V")
+    params = AMGParams(smoother="chebyshev", cycle="V",
+                       band_dtype="bfloat16")
     krylov = KrylovParams(method="cg", tol=args.tol)
     solver = AMGSolver(A, params, krylov)
 

@@ -59,7 +59,7 @@ class Df64Matrix:
 
 def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
                 dia_max_bands: int = 32,
-                pad_multiple: int = 1024) -> Df64Matrix:
+                pad_multiple: int = 2048) -> Df64Matrix:
     """Build a df64 device operator from a host float64 CSR matrix."""
     A_hi_host = A.copy()
     A_hi_host.data = A.data.astype(np.float32).astype(np.float64)

@@ -95,7 +95,7 @@ def _pick_R(rows: int, h: int, n_resident: int):
     fitting the VMEM budget (None -> single-block path)."""
     budget_rows = (8 * 1024 * 1024 // 4 // LANE) // max(n_resident, 1)
     R = None
-    for cand in range(8, rows + 1, 8):
+    for cand in range(16, rows + 1, 16):
         if rows % cand or cand < h:
             continue
         if cand <= budget_rows or R is None:
@@ -269,7 +269,7 @@ def dia_spmv_pallas(bands: jax.Array, x: jax.Array, offsets: tuple,
     # double-buffered: 2*(D+4) tiles resident)
     budget_rows = (8 * 1024 * 1024 // 4 // LANE) // (2 * (D + 4))
     R = None
-    for cand in range(8, rows + 1, 8):
+    for cand in range(16, rows + 1, 16):
         if rows % cand or cand < h:
             continue
         if cand <= budget_rows or R is None:

@@ -56,7 +56,14 @@ class AMGParams:
                                        # (guards stalled coarsening)
     coarse_smooth_sweeps: int = 16     # sweeps for the smoothing fallback
     # --- device layout ---
-    dtype: str = "float32"             # device solve dtype
+    dtype: str = "float32"             # device solve dtype (vectors, dinv)
+    band_dtype: str = "float32"        # matrix-data dtype (bands/vals/
+                                       # dense blocks).  "bfloat16" halves
+                                       # the dominant HBM traffic of every
+                                       # cycle; the cycle is only a
+                                       # preconditioner, so reduced matrix
+                                       # precision costs at most ~1 Krylov
+                                       # iteration (vectors stay fp32)
     prefer_dia: bool = True            # use DIA (stencil) layout when it fits
     dia_max_bands: int = 32            # densify-to-bands threshold
     ell_pad_multiple: int = 8          # pad rows to a multiple of this

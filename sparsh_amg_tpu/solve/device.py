@@ -89,18 +89,19 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
               dtype=None) -> DeviceHierarchy:
     params = params or hier.params
     dtype = dtype or jnp.dtype(params.dtype)
+    bdtype = jnp.dtype(params.band_dtype)
     levels = []
     for li, lev in enumerate(hier.levels):
         A = lev.A
         n = A.shape[0]
         is_coarsest = li == len(hier.levels) - 1 or lev.P is None
         # pad to 8*128: the Pallas DIA kernel tiles sublane rows in
-        # multiples of 8, so every level's n_pad must divide into 8-row
-        # tiles (formats.LANE alignment is 128; 1024 = 8 sublanes x 128)
-        dev_A = csr_to_device(A, dtype=dtype, prefer_dia=params.prefer_dia,
+        # multiples of 8 (16 for bf16), so every level's n_pad must divide
+        # into 16-row tiles (2048 = 16 sublanes x 128 lanes)
+        dev_A = csr_to_device(A, dtype=bdtype, prefer_dia=params.prefer_dia,
                               dia_max_bands=params.dia_max_bands,
                               dense_size=params.dense_size,
-                              pad_multiple=1024)
+                              pad_multiple=2048)
         n_pad = dev_A.n_pad
         d = A.diagonal()
         dinv = np.zeros(n_pad)
@@ -118,25 +119,25 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         if not is_coarsest:
             nc = lev.P.shape[1]
             if max(n, nc) <= params.dense_size:
-                P = csr_to_dense(lev.P, dtype=dtype, pad_multiple=1024)
-                R = csr_to_dense(lev.R, dtype=dtype, pad_multiple=1024)
+                P = csr_to_dense(lev.P, dtype=bdtype, pad_multiple=2048)
+                R = csr_to_dense(lev.R, dtype=bdtype, pad_multiple=2048)
             else:
-                P = csr_to_ell(lev.P, dtype=dtype, pad_multiple=1024)
-                R = csr_to_ell(lev.R, dtype=dtype, pad_multiple=1024)
+                P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=2048)
+                R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=2048)
                 # csr_to_ell pads rows to a multiple of 128; both levels use
                 # the same multiple so shapes line up with vectors.
                 assert P.n_pad >= n and R.n_cols <= n_pad
         elif n <= params.coarse_inv_max:
             dense = np.zeros((n_pad, n_pad))
             dense[:n, :n] = np.linalg.inv(A.toarray())
-            coarse_inv = jnp.asarray(dense, dtype=dtype)
+            coarse_inv = jnp.asarray(dense, dtype=bdtype)
 
         L = U = None
         if params.smoother == "gs2" and coarse_inv is None:
             conv = lambda T: csr_to_device(
-                T.tocsr(), dtype=dtype, prefer_dia=params.prefer_dia,
+                T.tocsr(), dtype=bdtype, prefer_dia=params.prefer_dia,
                 dia_max_bands=params.dia_max_bands,
-                dense_size=params.dense_size, pad_multiple=1024)
+                dense_size=params.dense_size, pad_multiple=2048)
             L = conv(sp.tril(A, -1))
             U = conv(sp.triu(A, 1))
 

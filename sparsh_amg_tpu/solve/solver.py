@@ -92,14 +92,16 @@ class AMGSolver:
         inner = pcg if is_cg else bicgstab
         _dot = lambda a, b: _blas_dot(a, b, compensated=kr.compensated_dots)
 
-        def _ops(levels):
-            mv = lambda v: spmv(levels[0].A, v)
+        def _ops(levels, Afine):
+            # Krylov matvec on the fp32 fine operator (the df64 hi part);
+            # the cycle preconditioner may hold reduced-precision bands
+            mv = lambda v: spmv(Afine, v)
             pc = lambda r: cycle(levels, r)
             return mv, pc
 
         # -- device mode: whole Krylov loop as one while_loop -------------
-        def inner_solve(levels, b, tol, maxiter):
-            mv, pc = _ops(levels)
+        def inner_solve(levels, Afine, b, tol, maxiter):
+            mv, pc = _ops(levels, Afine)
             return inner(mv, pc, b, tol=tol, maxiter=maxiter,
                          compensated=kr.compensated_dots)
 
@@ -107,13 +109,13 @@ class AMGSolver:
                                         static_argnames=("maxiter",))
 
         # -- host mode: chunk of `kr.chunk` iterations per dispatch -------
-        def kr_init(levels, b):
-            mv, pc = _ops(levels)
+        def kr_init(levels, Afine, b):
+            mv, pc = _ops(levels, Afine)
             return (pcg_init(mv, pc, b, _dot) if is_cg
                     else bicgstab_init(mv, b, _dot))
 
-        def kr_chunk(levels, rhat, state):
-            mv, pc = _ops(levels)
+        def kr_chunk(levels, Afine, rhat, state):
+            mv, pc = _ops(levels, Afine)
             # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
             for _ in range(kr.chunk):
                 if is_cg:
@@ -147,14 +149,16 @@ class AMGSolver:
         """Inner fp32 AMG-Krylov solve; dispatches on loop_mode.
         Returns (x_device, iters:int, relres:float)."""
         kr = self.krylov
+        Afine = self.A_df.A_hi
         if kr.loop_mode == "device":
             # always compile with the configured maxiter (it's a static
             # argument — varying per-pass budgets would recompile)
-            x, it, rel = self._inner_solve_dev(levels, b, tol, kr.maxiter)
+            x, it, rel = self._inner_solve_dev(levels, Afine, b, tol,
+                                               kr.maxiter)
             return x, int(it), float(rel)
         is_cg = kr.method == "cg"
         i_rr, i_k = (5, 6) if is_cg else (7, 8)
-        state = self._kr_init(levels, b)
+        state = self._kr_init(levels, Afine, b)
         rr0 = float(state[i_rr])     # == ||b||^2 for x0 = 0
         if rr0 == 0.0:
             return state[0], 0, 0.0
@@ -162,7 +166,7 @@ class AMGSolver:
         iters = 0
         rr = rr0
         while iters < maxiter:
-            state = self._kr_chunk(levels, b, state)
+            state = self._kr_chunk(levels, Afine, b, state)
             rr = float(state[i_rr])
             iters = int(state[i_k])
             if rr <= target or not np.isfinite(rr):
