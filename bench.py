@@ -12,9 +12,16 @@ SURVEY.md §6 define the acceptance metric this way).
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# Through the axon relay each kernel launch pays an RPC penalty and Pallas
+# custom calls pay ~4x an XLA fusion's; the XLA path with a device-side
+# while_loop (single dispatch for the whole Krylov solve) measures fastest
+# end-to-end on this link.  On direct-attached TPUs flip these back.
+os.environ.setdefault("SPARSH_NO_PALLAS", "1")
 
 
 def measure_hbm_bw(jnp, jax, nbytes: int = 1 << 28) -> float:
@@ -99,7 +106,7 @@ def main():
 
     params = AMGParams(smoother="chebyshev", cycle="V",
                        band_dtype="bfloat16")
-    krylov = KrylovParams(method="cg", tol=args.tol)
+    krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
     solver = AMGSolver(A, params, krylov)
 
     rng = np.random.default_rng(0)
