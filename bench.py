@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--n", type=int, default=192,
                     help="grid points per side (n^3 unknowns)")
     ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--dist", type=int, default=0, metavar="N",
+                    help="row-shard over N devices (weak-scaling harness; "
+                         "0 = serial single chip)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +110,13 @@ def main():
     params = AMGParams(smoother="chebyshev", cycle="V",
                        band_dtype="bfloat16")
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
-    solver = AMGSolver(A, params, krylov)
+    if args.dist:
+        from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,
+                                                    default_mesh)
+        solver = DistAMGSolver(A, mesh=default_mesh(args.dist),
+                               params=params, krylov=krylov)
+    else:
+        solver = AMGSolver(A, params, krylov)
 
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n)
