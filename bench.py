@@ -88,6 +88,8 @@ def main():
     ap.add_argument("--dist", type=int, default=0, metavar="N",
                     help="row-shard over N devices (weak-scaling harness; "
                          "0 = serial single chip)")
+    ap.add_argument("--coarsening", default="rs",
+                    choices=["rs", "pmis", "aggregation"])
     args = ap.parse_args()
 
     import jax
@@ -107,8 +109,10 @@ def main():
     A = poisson3d(nside)
     gen_s = time.perf_counter() - t0
 
+    interp = "smoothed" if args.coarsening == "aggregation" else "direct"
     params = AMGParams(smoother="chebyshev", cycle="V",
-                       band_dtype="bfloat16")
+                       band_dtype="bfloat16",
+                       coarsening=args.coarsening, interpolation=interp)
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,

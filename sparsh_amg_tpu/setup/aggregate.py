@@ -85,7 +85,8 @@ def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
                           shape=A.shape)
         A.eliminate_zeros()
     d = A.diagonal()
-    dinv = np.where(d != 0, 1.0 / d, 0.0)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(d != 0, 1.0 / d, 0.0)
     Dinv_A = sp.diags(dinv) @ A
     P = (P_tent - omega * (Dinv_A @ P_tent)).tocsr()
     P.sum_duplicates()
