@@ -112,7 +112,12 @@ def main():
     interp = "smoothed" if args.coarsening == "aggregation" else "direct"
     params = AMGParams(smoother="chebyshev", cycle="V",
                        band_dtype="bfloat16",
-                       coarsening=args.coarsening, interpolation=interp)
+                       coarsening=args.coarsening, interpolation=interp,
+                       # densify every irregular coarse level (they carry
+                       # thousands of distinct diagonals — ELL gathers are
+                       # launch-storms; a dense MXU matvec is ONE kernel,
+                       # and bf16 keeps 10k^2 blocks at ~200 MB)
+                       dense_size=10240)
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,
