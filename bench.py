@@ -116,8 +116,10 @@ def main():
                        # densify every irregular coarse level (they carry
                        # thousands of distinct diagonals — ELL gathers are
                        # launch-storms; a dense MXU matvec is ONE kernel,
-                       # and bf16 keeps 10k^2 blocks at ~200 MB)
-                       dense_size=10240)
+                       # and bf16 keeps ~20k^2 blocks under 1 GB), and run
+                       # degree-1 Chebyshev below level 2 (zero measured
+                       # iteration cost, 3x fewer coarse-level kernels)
+                       dense_size=22000, cheby_degree_coarse=1)
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,

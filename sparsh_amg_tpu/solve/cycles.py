@@ -21,8 +21,9 @@ def _cycle(levels, l, b, x, params, shape):
         return lev.coarse_solve(b)
     # pre-smooth (x may be a known-zero start)
     zero0 = x is None
+    coarse = l >= 2
     x = smooth(lev, b, jnp.zeros_like(b) if zero0 else x, params,
-               zero_start=zero0, sweeps=params.nu1)
+               zero_start=zero0, sweeps=params.nu1, coarse=coarse)
     # coarse-grid correction
     r = residual(lev.A, x, b)
     rc = spmv(lev.R, r)
@@ -40,7 +41,7 @@ def _cycle(levels, l, b, x, params, shape):
     # post-smooth (backward direction for direction-dependent smoothers,
     # keeping the cycle symmetric as a PCG preconditioner)
     x = smooth(lev, b, x, params, zero_start=False, sweeps=params.nu2,
-               backward=True)
+               backward=True, coarse=coarse)
     return x
 
 

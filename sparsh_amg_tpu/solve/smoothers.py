@@ -109,9 +109,10 @@ def two_stage_gs(level, b, x, sweeps: int, stages: int = 2,
 
 
 def smooth(level, b, x, params, zero_start: bool = False, sweeps: int = None,
-           backward: bool = False):
+           backward: bool = False, coarse: bool = False):
     """Dispatch on params.smoother.  `backward` selects the sweep direction
-    for direction-dependent smoothers (two-stage GS)."""
+    for direction-dependent smoothers (two-stage GS); `coarse` selects the
+    reduced coarse-level Chebyshev degree when configured."""
     name = params.smoother
     if name == "jacobi":
         nu = sweeps if sweeps is not None else params.nu1
@@ -120,7 +121,10 @@ def smooth(level, b, x, params, zero_start: bool = False, sweeps: int = None,
         nu = sweeps if sweeps is not None else params.nu1
         return l1_jacobi(level, b, x, nu, zero_start)
     if name == "chebyshev":
-        return chebyshev(level, b, x, params.cheby_degree,
+        degree = (params.cheby_degree_coarse
+                  if coarse and params.cheby_degree_coarse
+                  else params.cheby_degree)
+        return chebyshev(level, b, x, degree,
                          params.cheby_lower_frac, zero_start)
     if name == "gs2":
         nu = sweeps if sweeps is not None else params.nu1
