@@ -106,13 +106,24 @@ class EllMatrix:
         return _ell_spmv(self.cols, self.vals, x, self.n_pad)
 
 
-def _ell_spmv(cols, vals, x, n_pad, unroll_max: int = 16):
+# one-shot gather ceiling: (K, n_pad) fp32 temporary; above this fall back
+# to a loop to bound memory
+_ELL_GATHER_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _ell_spmv(cols, vals, x, n_pad, unroll_max: int = 2):
     K = cols.shape[0]
     if K <= unroll_max:
         y = jnp.zeros(n_pad, dtype=x.dtype)
         for k in range(K):
             y = y + vals[k] * x.at[cols[k]].get(mode="promise_in_bounds")
         return y
+
+    if K * n_pad * 4 <= _ELL_GATHER_MAX_BYTES:
+        # single (K, n_pad) gather + elementwise + reduce: 3 kernels total
+        # regardless of K (vs K sequential gather+fma rounds)
+        g = x.at[cols].get(mode="promise_in_bounds")
+        return jnp.sum(vals * g, axis=0, dtype=x.dtype)
 
     def body(k, y):
         c = jax.lax.dynamic_index_in_dim(cols, k, 0, keepdims=False)

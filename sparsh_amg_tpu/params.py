@@ -31,6 +31,11 @@ class AMGParams:
     interpolation: str = "direct"      # direct | tentative | smoothed
     interp_max: int = 5                # max interpolation entries per row
                                        # (hypre P_max_elmts; 0 = no limit)
+    rap_drop_tol: float = 0.0          # drop coarse-operator entries with
+                                       # |a_ij| < tol*sqrt(a_ii*a_jj), lumped
+                                       # to the diagonal (ML-style filtering;
+                                       # bounds coarse nnz/row at a small
+                                       # iteration cost; 0 = off)
     max_levels: int = 25
     coarse_size: int = 1024            # stop coarsening at/below this n:
                                        # the MXU dense inverse is cheap up

@@ -44,11 +44,34 @@ def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
 
 
 def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
-                     R: sp.csr_matrix | None = None) -> sp.csr_matrix:
-    """Compute R A P (R defaults to P^T), pruning explicit zeros."""
+                     R: sp.csr_matrix | None = None,
+                     drop_tol: float = 0.0) -> sp.csr_matrix:
+    """Compute R A P (R defaults to P^T), pruning explicit zeros.
+
+    drop_tol > 0 filters the result: entries with |a_ij| <
+    drop_tol*sqrt(|a_ii a_jj|) are dropped and lumped into the diagonal
+    (ML-style operator filtering) — this is what bounds nnz/row on the
+    irregular coarse levels, where Galerkin fill otherwise reaches
+    hundreds of entries per row.
+    """
     if R is None:
         R = P.T.tocsr()
     Ac = spgemm(R, spgemm(A, P))
     Ac.sum_duplicates()
     Ac.eliminate_zeros()
+    if drop_tol > 0.0 and Ac.nnz:
+        n = Ac.shape[0]
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(Ac.indptr))
+        dmask = Ac.indices == rows
+        diag = np.zeros(n)
+        diag[rows[dmask]] = np.abs(Ac.data[dmask])
+        cut = drop_tol * np.sqrt(diag[rows] * diag[Ac.indices])
+        keep = dmask | (np.abs(Ac.data) >= cut)
+        lump = np.zeros(n)
+        np.add.at(lump, rows[~keep], Ac.data[~keep])
+        data = np.where(keep, Ac.data, 0.0)
+        data = np.where(dmask, data + lump[rows], data)
+        Ac = sp.csr_matrix((data, Ac.indices.copy(), Ac.indptr.copy()),
+                           shape=Ac.shape)
+        Ac.eliminate_zeros()
     return Ac

@@ -105,7 +105,8 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None) -> Hierarchy:
             break
         P, cf, agg = out
         R = P.T.tocsr()
-        Ac = galerkin_product(levels[-1].A, P, R)
+        Ac = galerkin_product(levels[-1].A, P, R,
+                              drop_tol=params.rap_drop_tol)
         levels[-1].P = P
         levels[-1].R = R
         levels[-1].cf = cf
