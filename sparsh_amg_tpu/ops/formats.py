@@ -220,8 +220,10 @@ def csr_to_dense(A: sp.csr_matrix, dtype=jnp.float32,
     n, m = A.shape
     np_, mp_ = _round_up(max(n, 1), pad_multiple), _round_up(max(m, 1),
                                                              pad_multiple)
-    dense = np.zeros((np_, mp_))
-    dense[:n, :m] = A.toarray()
+    # fill float32 directly — toarray() would materialize an f64 square
+    # (3.5 GB at 21k rows) before the cast
+    dense = np.zeros((np_, mp_), dtype=np.float32)
+    dense[:n, :m] = A.astype(np.float32).toarray()
     return DenseMatrix(mat=jnp.asarray(dense, dtype=dtype), n_rows=n,
                        n_cols=m)
 

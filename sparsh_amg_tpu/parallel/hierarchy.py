@@ -135,6 +135,7 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
     """Freeze a host hierarchy into the distributed stacked layout."""
     params = params or hier.params
     dtype = dtype or jnp.dtype(params.dtype)
+    bdtype = jnp.dtype(params.band_dtype)
     parts = [Partition.make(lev.A.shape[0], nd) for lev in hier.levels]
     levels = []
     for li, lev in enumerate(hier.levels):
@@ -142,7 +143,7 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
         n = A.shape[0]
         part = parts[li]
         is_coarsest = li == len(hier.levels) - 1 or lev.P is None
-        dev_A = csr_to_dist(A, part, part, dtype=dtype, axis=axis,
+        dev_A = csr_to_dist(A, part, part, dtype=bdtype, axis=axis,
                             prefer_dia=params.prefer_dia,
                             dia_max_bands=params.dia_max_bands,
                             dense_size=params.dense_size)
@@ -160,21 +161,21 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
             nc = lev.P.shape[1]
             pr_dense = params.dense_size if max(n, nc) <= params.dense_size \
                 else 0
-            P = csr_to_dist(lev.P, part, cpart, dtype=dtype, axis=axis,
+            P = csr_to_dist(lev.P, part, cpart, dtype=bdtype, axis=axis,
                             prefer_dia=False, dense_size=pr_dense)
-            R = csr_to_dist(lev.R, cpart, part, dtype=dtype, axis=axis,
+            R = csr_to_dist(lev.R, cpart, part, dtype=bdtype, axis=axis,
                             prefer_dia=False, dense_size=pr_dense)
         elif n <= params.coarse_inv_max:
             ncp = part.n_pad
             dense = np.zeros((ncp, ncp))
             dense[:n, :n] = np.linalg.inv(A.toarray())
             coarse_inv = jnp.asarray(
-                dense.reshape(nd, part.n_loc, ncp), dtype=dtype)
+                dense.reshape(nd, part.n_loc, ncp), dtype=bdtype)
 
         L = U = None
         if params.smoother == "gs2" and coarse_inv is None:
             conv = lambda T: csr_to_dist(
-                T.tocsr(), part, part, dtype=dtype, axis=axis,
+                T.tocsr(), part, part, dtype=bdtype, axis=axis,
                 prefer_dia=params.prefer_dia,
                 dia_max_bands=params.dia_max_bands,
                 dense_size=params.dense_size)
