@@ -8,6 +8,7 @@ scipy Kronecker products.
 """
 from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
+from .convection import convection2d
 from .elasticity import elasticity2d
 from .problem import Problem, get_problem
 
@@ -15,6 +16,7 @@ __all__ = [
     "poisson2d",
     "poisson3d",
     "anisotropic2d",
+    "convection2d",
     "elasticity2d",
     "Problem",
     "get_problem",

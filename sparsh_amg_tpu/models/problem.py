@@ -56,6 +56,11 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         nx = int(round(((n or 500_000) / 2) ** 0.5))
         A = elasticity2d(nx, **kw)
         meta = {"nx": nx}
+    elif name == "convection":
+        from .convection import convection2d
+        nx = int(round((n or 1_000_000) ** 0.5))
+        A = convection2d(nx, **kw)
+        meta = {"nx": nx, "epsilon": kw.get("epsilon", 1e-2)}
     else:
         raise ValueError(f"unknown problem {name!r}")
     return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta)

@@ -58,3 +58,17 @@ def test_grid_independent_iterations_2d():
         assert r.converged
         iters.append(r.iterations)
     assert max(iters) <= min(iters) + 8, iters
+
+
+def test_convection_diffusion_bicgstab():
+    """Nonsymmetric convection-diffusion (upwind): the BiCGStab target
+    class the reference serves its FEM client for."""
+    from sparsh_amg_tpu.models import convection2d
+    A = convection2d(48, epsilon=1e-2).tocsr()
+    # verify genuinely nonsymmetric
+    assert abs(A - A.T).max() > 1e-8
+    b = np.random.default_rng(5).standard_normal(A.shape[0])
+    p = AMGParams(coarsening="rs", smoother="l1jacobi")
+    r = AMGSolver(A, p, KrylovParams(method="bicgstab", tol=1e-8,
+                                     maxiter=400)).solve(b)
+    assert r.converged and _relres(A, r.x, b) <= 1e-8
