@@ -40,7 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--maxiter", type=int, default=500)
     p.add_argument("--no-refine", action="store_true")
-    p.add_argument("--coarse-size", type=int, default=64)
+    p.add_argument("--coarse-size", type=int, default=1024)
+    p.add_argument("--dense-size", type=int, default=2048)
+    p.add_argument("--band-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--loop-mode", default="host", choices=["host", "device"],
                    help="Krylov loop placement (see KrylovParams)")
     p.add_argument("--chunk", type=int, default=4,
@@ -67,7 +70,9 @@ def run(argv=None) -> dict:
     params = AMGParams(theta=args.theta, coarsening=args.coarsening,
                        interpolation=interp, smoother=args.smoother,
                        cycle=args.cycle, nu1=args.nu1, nu2=args.nu2,
-                       coarse_size=args.coarse_size, reorder=args.reorder)
+                       coarse_size=args.coarse_size, reorder=args.reorder,
+                       dense_size=args.dense_size,
+                       band_dtype=args.band_dtype)
     krylov = KrylovParams(method=args.krylov, tol=args.tol,
                           maxiter=args.maxiter, refine=not args.no_refine,
                           loop_mode=args.loop_mode, chunk=args.chunk)
