@@ -38,13 +38,17 @@ def _compile() -> str | None:
     so = os.path.join(_HERE, "build", f"amg_core-{h}.so")
     if os.path.exists(so):
         return so
+    # per-process tmp name: concurrent processes compiling the same hash
+    # must not clobber each other's output (observed: silent fallback to
+    # the numpy paths when two sessions raced)
+    tmp = f"{so}.tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC",
-        "-march=native", _SRC, "-o", so + ".tmp",
+        "-march=native", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
             FileNotFoundError):

@@ -27,14 +27,24 @@ def poisson2d(nx: int, ny: int | None = None, dtype=np.float64) -> sp.csr_matrix
 def poisson3d(nx: int, ny: int | None = None, nz: int | None = None,
               dtype=np.float64) -> sp.csr_matrix:
     """3-D 7-point Poisson on an nx*ny*nz interior grid
-    (index = (iz*ny + iy)*nx + ix)."""
+    (index = (iz*ny + iy)*nx + ix).  Assembled directly from the stencil
+    (sp.kron chains take ~1 min at 200^3; this is seconds)."""
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
-    Ix = sp.identity(nx, dtype=dtype, format="csr")
-    Iy = sp.identity(ny, dtype=dtype, format="csr")
-    Iz = sp.identity(nz, dtype=dtype, format="csr")
-    A = (sp.kron(Iz, sp.kron(Iy, _lap1d(nx, dtype)))
-         + sp.kron(Iz, sp.kron(_lap1d(ny, dtype), Ix))
-         + sp.kron(_lap1d(nz, dtype), sp.kron(Iy, Ix))).tocsr()
+    n = nx * ny * nz
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    diags, offs = [np.full(n, 6.0, dtype=dtype)], [0]
+    for comp, step, lim in ((ix, 1, nx), (iy, nx, ny), (iz, nx * ny, nz)):
+        # sp.diags offset -s: element k sits at (row k+s, col k) -> present
+        # iff that row is not on the axis' low boundary; +s analogous
+        diags.append(np.where(comp[step:] > 0, -1.0, 0.0).astype(dtype))
+        offs.append(-step)
+        diags.append(np.where(comp[: n - step] < lim - 1, -1.0, 0.0
+                              ).astype(dtype))
+        offs.append(step)
+    A = sp.diags(diags, offs, shape=(n, n), format="csr", dtype=dtype)
     A.eliminate_zeros()
     return A

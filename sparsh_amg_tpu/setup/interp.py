@@ -57,22 +57,18 @@ def truncate_rows(P: sp.csr_matrix, max_per_row: int) -> sp.csr_matrix:
         return P
     n = P.shape[0]
     rows = np.repeat(np.arange(n, dtype=np.int64), nnzr)
-    # rank entries only within over-wide rows (usually a small minority;
-    # sorting every nnz costs seconds at 10^7 scale)
-    wide = nnzr > max_per_row
-    sel = wide[rows]
-    keep = np.ones(P.nnz, dtype=bool)
-    rs, ds = rows[sel], P.data[sel]
-    order = np.lexsort((-np.abs(ds), rs))
-    # rank within each selected row: position in sorted order minus the
-    # first position of that row
-    sel_nnzr = nnzr[wide]
-    starts = np.repeat(np.concatenate([[0], np.cumsum(sel_nnzr[:-1])]),
-                       sel_nnzr)
-    rank = np.arange(len(rs), dtype=np.int64) - starts
-    keep_sel = np.empty(len(rs), dtype=bool)
-    keep_sel[order] = rank < max_per_row
-    keep[np.flatnonzero(sel)] = keep_sel
+    # rank within rows via a padded (n, K) slot table + per-row argsort —
+    # K is small (max nnz/row), so this is O(n K log K) with short C sorts
+    # instead of one global lexsort over every nnz
+    K = int(nnzr.max())
+    slot = np.arange(P.nnz, dtype=np.int64) - np.repeat(
+        P.indptr[:-1].astype(np.int64), nnzr)
+    table = np.zeros((n, K))
+    table[rows, slot] = np.abs(P.data)
+    top = np.argsort(-table, axis=1, kind="stable")[:, :max_per_row]
+    keep2d = np.zeros((n, K), dtype=bool)
+    keep2d[np.arange(n)[:, None], top] = True
+    keep = keep2d[rows, slot]
 
     def rowsum(mask):
         out = np.zeros(n)

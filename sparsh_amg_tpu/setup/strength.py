@@ -34,7 +34,7 @@ def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
         cut = theta * maxoff
         mask = offdiag & (-A.data > 0) & (maxoff[rows] > 0) & (-A.data >= cut[rows])
     S = sp.csr_matrix(
-        (np.ones(int(mask.sum()), dtype=np.float64),
+        (np.ones(int(mask.sum()), dtype=np.float32),
          A.indices[mask].astype(np.int32), _mask_indptr(A, mask)),
         shape=A.shape)
     return mask, S
@@ -65,6 +65,7 @@ def symmetric_strength(A: sp.csr_matrix, theta: float = 0.25):
         cut = theta * np.sqrt(diag[rows] * diag[A.indices])
         mask = (~dmask) & (np.abs(A.data) >= cut) & (cut > 0)
     S = sp.csr_matrix(
-        (np.ones(int(mask.sum())), A.indices[mask].astype(np.int32),
+        (np.ones(int(mask.sum()), dtype=np.float32),
+         A.indices[mask].astype(np.int32),
          _mask_indptr(A, mask)), shape=A.shape)
     return mask, S
