@@ -151,6 +151,7 @@ def main():
         "value": nnz_per_s,
         "unit": "nnz/s",
         "vs_baseline": nnz_per_s / sol_nnz_per_s,
+        "gflops": 2.0 * eff_nnz / max(res.solve_time, 1e-12) / 1e9,
         "n": n,
         "nnz": int(nnz),
         "iterations": res.iterations,

@@ -14,12 +14,12 @@ V/W/F cycles, and AMG-preconditioned CG / BiCGStab — designed TPU-first:
 from .params import AMGParams, KrylovParams
 from .setup import amg_setup, Hierarchy
 from .solve import AMGSolver, solve, to_device
-from . import models, ops, setup, solve, utils
+from . import models, ops, parallel, setup, solve, utils
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AMGParams", "KrylovParams", "amg_setup", "Hierarchy",
     "AMGSolver", "solve", "to_device",
-    "models", "ops", "setup", "utils",
+    "models", "ops", "parallel", "setup", "solve", "utils",
 ]

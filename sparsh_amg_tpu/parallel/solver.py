@@ -46,8 +46,10 @@ class DistAMGSolver:
 
     def __init__(self, A: sp.csr_matrix, mesh: Mesh | None = None,
                  params: AMGParams | None = None,
-                 krylov: KrylovParams | None = None):
-        self.params = params or AMGParams()
+                 krylov: KrylovParams | None = None,
+                 hierarchy: Hierarchy | None = None):
+        self.params = params or (hierarchy.params if hierarchy else None) \
+            or AMGParams()
         self.krylov = krylov or KrylovParams()
         self.mesh = mesh or default_mesh()
         self.axis = self.mesh.axis_names[0]
@@ -55,10 +57,12 @@ class DistAMGSolver:
         t0 = time.perf_counter()
         A = A.tocsr()
         self.n = A.shape[0]
-        from ..setup.reorder import maybe_reorder
-        A, self.perm = maybe_reorder(A, self.params.reorder)
+        self.perm = None
+        if hierarchy is None:
+            from ..setup.reorder import maybe_reorder
+            A, self.perm = maybe_reorder(A, self.params.reorder)
         self.A_host = A
-        self.hierarchy: Hierarchy = amg_setup(A, self.params)
+        self.hierarchy: Hierarchy = hierarchy or amg_setup(A, self.params)
         self.dist: DistHierarchy = to_dist(self.hierarchy, self.nd,
                                            self.params, axis=self.axis)
         self.part = self.dist.parts[0]
