@@ -35,14 +35,20 @@ def _round_up(x: int, m: int) -> int:
 _PALLAS_DIA_MIN = 1 << 14
 
 
-def _use_pallas_dia(n_pad: int) -> bool:
+def _use_pallas_dia(n_pad: int, offsets: tuple = ()) -> bool:
     import os
     if os.environ.get("SPARSH_NO_PALLAS"):
         return False
     try:
-        return (jax.default_backend() == "tpu" and n_pad >= _PALLAS_DIA_MIN)
+        if not (jax.default_backend() == "tpu"
+                and n_pad >= _PALLAS_DIA_MIN):
+            return False
     except RuntimeError:
         return False
+    if offsets:
+        from .pallas_spmv import pallas_dia_ok
+        return pallas_dia_ok(n_pad, offsets)
+    return True
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -65,7 +71,7 @@ class DiaMatrix:
         On TPU, large levels dispatch to the Pallas kernel (x streamed to
         VMEM once, diagonal shifts realized on-chip — see pallas_spmv.py);
         elsewhere the XLA shifted-FMA fallback."""
-        if _use_pallas_dia(self.n_pad):
+        if _use_pallas_dia(self.n_pad, self.offsets):
             from .pallas_spmv import dia_spmv_pallas
             return dia_spmv_pallas(self.bands, x, self.offsets, self.n_pad)
         n_pad = self.n_pad
@@ -163,7 +169,7 @@ def spmv(A, x: jax.Array) -> jax.Array:
 
 def residual(A, x: jax.Array, b: jax.Array) -> jax.Array:
     """r = b - A x, fused into one op on the Pallas DIA path."""
-    if isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad):
+    if isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad, A.offsets):
         from .pallas_spmv import dia_residual
         return dia_residual(A.bands, x, b, A.offsets, A.n_pad)
     return b - A.spmv(x)

@@ -90,6 +90,17 @@ def _dia_kernel_single(x_ref, bands_ref, y_ref, *, offsets, R: int):
     y_ref[:] = acc
 
 
+def pallas_dia_ok(n_pad: int, offsets: tuple) -> bool:
+    """Feasibility check for the DIA kernels: either a valid row tiling
+    exists, or the single-block window (3*rows) fits VMEM comfortably."""
+    maxoff = max((abs(o) for o in offsets), default=0)
+    h = -(-maxoff // LANE)
+    rows = n_pad // LANE
+    if _pick_R(rows, h, 2 * (len(offsets) + 4)) is not None:
+        return True
+    return 3 * rows * LANE * 4 <= 6 * 1024 * 1024
+
+
 def _pick_R(rows: int, h: int, n_resident: int):
     """Largest multiple-of-8 divisor of `rows` covering the halo and
     fitting the VMEM budget (None -> single-block path)."""

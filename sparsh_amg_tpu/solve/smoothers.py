@@ -22,7 +22,7 @@ def _jacobi_like(A, b, x, sweeps, dinv, omega, zero_start):
     if zero_start:
         x = omega * dinv * b if omega != 1.0 else dinv * b
         sweeps -= 1
-    fused = isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad)
+    fused = isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad, A.offsets)
     for _ in range(sweeps):
         if fused:
             from ..ops.pallas_spmv import dia_jacobi_sweep
@@ -60,7 +60,7 @@ def chebyshev(level, b, x, degree: int, lower_frac: float,
     sigma = theta / delta
     rho = 1.0 / sigma
     A = level.A
-    fused = isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad)
+    fused = isinstance(A, DiaMatrix) and _use_pallas_dia(A.n_pad, A.offsets)
     if zero_start:
         r = level.dinv * b
     elif fused:
