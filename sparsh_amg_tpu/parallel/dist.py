@@ -103,13 +103,45 @@ class DistDia:
         return dataclasses.replace(self, bands=self.bands[0])
 
     def spmv(self, x_loc: jax.Array) -> jax.Array:
-        """y_loc = (A @ x)_loc; call inside shard_map with local arrays."""
-        ext = halo_exchange(x_loc, self.h, self.nd, self.axis)
+        """y_loc = (A @ x)_loc; call inside shard_map with local arrays.
+
+        The reference overlaps MPI halo receives with the local-block
+        product (SURVEY.md §3.4, hypre-ParCSR).  Same structure here: the
+        interior product depends only on x_loc, so XLA schedules it
+        concurrently with the neighbor `ppermute`s; the narrow boundary
+        corrections (|off| rows per diagonal) consume the halos after."""
         n_loc = self.n_loc
+        h, nd, axis = self.h, self.nd, self.axis
+        maxoff = max((abs(o) for o in self.offsets), default=0)
+        if h == 0 or maxoff == 0:
+            ext = halo_exchange(x_loc, h, nd, axis)
+            y = jnp.zeros(n_loc, dtype=x_loc.dtype)
+            for d, off in enumerate(self.offsets):
+                seg = jax.lax.dynamic_slice(ext, (h + off,), (n_loc,))
+                y = y + self.bands[d] * seg
+            return y
+        if nd == 1:
+            left = jnp.zeros((h,), dtype=x_loc.dtype)
+            right = left
+        else:
+            fwd = [(i, i + 1) for i in range(nd - 1)]
+            bwd = [(i + 1, i) for i in range(nd - 1)]
+            left = jax.lax.ppermute(x_loc[-h:], axis, fwd)
+            right = jax.lax.ppermute(x_loc[:h], axis, bwd)
+        # interior: halo treated as zero — no dependence on the collectives
+        xp = jnp.pad(x_loc, (maxoff, maxoff))
         y = jnp.zeros(n_loc, dtype=x_loc.dtype)
         for d, off in enumerate(self.offsets):
-            seg = jax.lax.dynamic_slice(ext, (self.h + off,), (n_loc,))
+            seg = jax.lax.dynamic_slice(xp, (maxoff + off,), (n_loc,))
             y = y + self.bands[d] * seg
+        # boundary corrections from the received halos
+        for d, off in enumerate(self.offsets):
+            if off > 0:
+                y = y.at[n_loc - off:].add(
+                    self.bands[d, n_loc - off:] * right[:off])
+            elif off < 0:
+                a = -off
+                y = y.at[:a].add(self.bands[d, :a] * left[h - a:])
         return y
 
 
