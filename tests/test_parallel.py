@@ -144,3 +144,17 @@ def test_dist_solve_nd1_vs_nd8():
                        krylov=kr).solve(b)
     assert r1.converged and r8.converged
     np.testing.assert_allclose(r1.x, r8.x, rtol=1e-6, atol=1e-9)
+
+
+def test_dist_loop_modes_agree():
+    """Distributed host-chunked and device while_loop modes agree."""
+    A = poisson2d(24)
+    b = np.random.default_rng(8).standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40)
+    rh = DistAMGSolver(A, params=params,
+                       krylov=KrylovParams(loop_mode="host")).solve(b)
+    rd = DistAMGSolver(A, params=params,
+                       krylov=KrylovParams(loop_mode="device")).solve(b)
+    assert rh.converged and rd.converged
+    for r in (rh, rd):
+        assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
