@@ -187,12 +187,15 @@ def csr_diag_offsets(A: sp.csr_matrix) -> np.ndarray:
 
 
 def csr_to_dia(A: sp.csr_matrix, dtype=jnp.float32,
-               pad_multiple: int = 128) -> DiaMatrix:
+               pad_multiple: int = 128, _pre=None) -> DiaMatrix:
     n, m = A.shape
     assert n == m, "DIA layout requires a square matrix"
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
-    offs = A.indices.astype(np.int64) - rows
-    uoffs = np.unique(offs)
+    if _pre is not None:
+        rows, offs, uoffs = _pre   # reuse csr_to_device's computation
+    else:
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        offs = A.indices.astype(np.int64) - rows
+        uoffs = np.unique(offs)
     n_pad = _round_up(max(n, 1), pad_multiple)
     bands = np.zeros((len(uoffs), n_pad), dtype=np.float64)
     pos = np.searchsorted(uoffs, offs)
@@ -247,11 +250,14 @@ def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
     if dense_size and n <= dense_size and m <= dense_size:
         return csr_to_dense(A, dtype, pad_multiple)
     if prefer_dia and n == m and A.nnz > 0:
-        uoffs = csr_diag_offsets(A)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        offs = A.indices.astype(np.int64) - rows
+        uoffs = np.unique(offs)
         if len(uoffs) <= dia_max_bands:
             # DIA wastes (n_diags*n - nnz) slots; accept if <= 2x blowup
             if len(uoffs) * n <= 4 * A.nnz:
-                return csr_to_dia(A, dtype, pad_multiple)
+                return csr_to_dia(A, dtype, pad_multiple,
+                                  _pre=(rows, offs, uoffs))
     return csr_to_ell(A, dtype, pad_multiple)
 
 

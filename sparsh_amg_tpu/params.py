@@ -29,7 +29,7 @@ class AMGParams:
                                        # 3-D Laplacian where offdiag/diag=1/6)
     coarsening: str = "rs"             # rs | pmis | aggregation
     interpolation: str = "direct"      # direct | tentative | smoothed
-    interp_max: int = 5                # max interpolation entries per row
+    interp_max: int = 6                # max interpolation entries per row
                                        # (hypre P_max_elmts; 0 = no limit)
     rap_drop_tol: float = 0.0          # drop coarse-operator entries with
                                        # |a_ij| < tol*sqrt(a_ii*a_jj), lumped
