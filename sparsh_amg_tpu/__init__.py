@@ -13,13 +13,18 @@ V/W/F cycles, and AMG-preconditioned CG / BiCGStab — designed TPU-first:
 """
 from .params import AMGParams, KrylovParams
 from .setup import amg_setup, Hierarchy
-from .solve import AMGSolver, solve, to_device
 from . import models, ops, parallel, setup, solve, utils
+from .solve.solver import AMGSolver
+from .solve.device import to_device
+# expose the one-shot convenience under a non-shadowing name; binding it as
+# `solve` would overwrite the `sparsh_amg_tpu.solve` SUBMODULE attribute and
+# break dotted imports (`import sparsh_amg_tpu.solve.cycles`)
+from .solve.solver import solve as solve_system
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AMGParams", "KrylovParams", "amg_setup", "Hierarchy",
-    "AMGSolver", "solve", "to_device",
+    "AMGSolver", "solve_system", "to_device",
     "models", "ops", "parallel", "setup", "solve", "utils",
 ]

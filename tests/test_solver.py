@@ -6,7 +6,8 @@ PCG iterations to 1e-8 on Poisson.
 import numpy as np
 import pytest
 
-from sparsh_amg_tpu import AMGParams, KrylovParams, AMGSolver, solve
+from sparsh_amg_tpu import (AMGParams, KrylovParams, AMGSolver,
+                            solve_system as solve)
 from sparsh_amg_tpu.models import poisson2d, poisson3d, anisotropic2d, \
     elasticity2d
 
