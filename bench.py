@@ -119,7 +119,11 @@ def main():
                        # and bf16 keeps ~20k^2 blocks under 1 GB), and run
                        # degree-1 Chebyshev below level 2 (zero measured
                        # iteration cost, 3x fewer coarse-level kernels)
-                       dense_size=22000, cheby_degree_coarse=1)
+                       dense_size=22000, cheby_degree_coarse=1,
+                       # degree-1 from level 1 (zero measured iteration
+                       # cost on 3-D Poisson; level 1 carries ~23 bands,
+                       # the dominant byte stream after level 0)
+                       cheby_coarse_from=1)
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,

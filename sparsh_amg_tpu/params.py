@@ -50,10 +50,11 @@ class AMGParams:
                                        # (PAPERS.md arXiv:2104.01196)
     jacobi_omega: float = 2.0 / 3.0
     cheby_degree: int = 3
-    cheby_degree_coarse: int = 0       # Chebyshev degree on levels >= 2
-                                       # (0 = same as cheby_degree); coarse
-                                       # sweeps cost disproportionate kernel
-                                       # launches on irregular levels
+    cheby_degree_coarse: int = 0       # Chebyshev degree on levels >=
+                                       # cheby_coarse_from (0 = same as
+                                       # cheby_degree); coarse sweeps cost
+                                       # disproportionate traffic/launches
+    cheby_coarse_from: int = 2         # first level using the reduced degree
     cheby_lower_frac: float = 1.0 / 30.0  # lower bound = frac * lambda_max
     nu1: int = 1                       # pre-smoothing sweeps
     nu2: int = 1                       # post-smoothing sweeps

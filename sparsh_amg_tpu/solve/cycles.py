@@ -21,7 +21,7 @@ def _cycle(levels, l, b, x, params, shape):
         return lev.coarse_solve(b)
     # pre-smooth (x may be a known-zero start)
     zero0 = x is None
-    coarse = l >= 2
+    coarse = l >= params.cheby_coarse_from
     x = smooth(lev, b, jnp.zeros_like(b) if zero0 else x, params,
                zero_start=zero0, sweeps=params.nu1, coarse=coarse)
     # coarse-grid correction
