@@ -80,3 +80,19 @@ def test_empty_rows_ell():
     A = A.tocsr()
     dev = csr_to_ell(A)
     _spmv_check(A, dev)
+
+
+def test_ell_one_shot_gather_large_k():
+    """K > 2 takes the single 2D-gather path; oracle vs scipy."""
+    import scipy.sparse as sp
+    from sparsh_amg_tpu.ops.formats import csr_to_ell
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    A = sp.random(300, 300, density=0.15, random_state=rng, format="csr")
+    A = (A + sp.identity(300)).tocsr()
+    ell = csr_to_ell(A)
+    assert ell.k > 2
+    x = rng.standard_normal(ell.n_pad).astype(np.float32)
+    y = np.asarray(ell.spmv(jnp.asarray(x)))
+    want = A @ x[: 300]
+    np.testing.assert_allclose(y[:300], want, rtol=2e-4, atol=1e-4)
