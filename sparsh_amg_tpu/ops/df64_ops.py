@@ -65,14 +65,33 @@ def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
     A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
     lo_host = A.copy()
     lo_host.data = A.data - A_hi_host.data
-    A_hi = csr_to_device(A_hi_host, dtype=jnp.float32, prefer_dia=prefer_dia,
-                         dia_max_bands=dia_max_bands,
-                         pad_multiple=pad_multiple)
     # lo shares A's sparsity pattern exactly (no eliminate_zeros), so the
-    # format choice and slot/band layout are identical.
-    lo_dev = csr_to_device(lo_host, dtype=jnp.float32, prefer_dia=prefer_dia,
-                           dia_max_bands=dia_max_bands,
-                           pad_multiple=pad_multiple)
+    # format choice and slot/band layout are identical; when the pattern is
+    # DIA-eligible, compute the (rows, offsets) maps ONCE for both halves
+    # (each pass costs seconds at 5*10^7 nnz).
+    n, m = A.shape
+    pre = None
+    if prefer_dia and n == m and A.nnz > 0:
+        from .formats import csr_to_dia
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        offs = A.indices.astype(np.int64) - rows
+        uoffs = np.unique(offs)
+        if len(uoffs) <= dia_max_bands and len(uoffs) * n <= 4 * A.nnz:
+            pre = (rows, offs, uoffs)
+    if pre is not None:
+        A_hi = csr_to_dia(A_hi_host, dtype=jnp.float32,
+                          pad_multiple=pad_multiple, _pre=pre)
+        lo_dev = csr_to_dia(lo_host, dtype=jnp.float32,
+                            pad_multiple=pad_multiple, _pre=pre)
+    else:
+        A_hi = csr_to_device(A_hi_host, dtype=jnp.float32,
+                             prefer_dia=prefer_dia,
+                             dia_max_bands=dia_max_bands,
+                             pad_multiple=pad_multiple)
+        lo_dev = csr_to_device(lo_host, dtype=jnp.float32,
+                               prefer_dia=prefer_dia,
+                               dia_max_bands=dia_max_bands,
+                               pad_multiple=pad_multiple)
     if isinstance(A_hi, DiaMatrix):
         assert isinstance(lo_dev, DiaMatrix) and lo_dev.offsets == A_hi.offsets
         return Df64Matrix(A_hi=A_hi, lo=lo_dev.bands)
