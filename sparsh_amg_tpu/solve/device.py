@@ -67,11 +67,12 @@ class DeviceHierarchy:
         return len(self.levels)
 
 
-def _lambda_max_dinv_a(A: sp.csr_matrix, iters: int = 10,
+def _lambda_max_dinv_a(A: sp.csr_matrix, iters: int = 20,
                        seed: int = 0) -> float:
     """Host power iteration for lambda_max(D^-1 A) (Chebyshev upper bound).
-    10 iterations + the 5% margin suffice: Chebyshev smoothing only needs
-    an upper bound, and D^-1 A spectra of M-matrices converge fast."""
+    Do NOT reduce iters: at 10 iterations the estimate undershoots and the
+    Chebyshev window misses the top of the spectrum — measured 416 PCG
+    iterations instead of 10 on 96^3 Poisson."""
     d = A.diagonal()
     dinv = np.where(d != 0, 1.0 / d, 0.0)
     rng = np.random.default_rng(seed)
