@@ -493,6 +493,9 @@ void spgemm_numeric(int64_t n, int64_t m,
                     double* C_data) {
 #pragma omp parallel
   {
+    // pos is reset row-locally (below) so the newness test never depends
+    // on the order OpenMP hands out chunks — schedule(dynamic) is
+    // non-monotonic per the OpenMP 5.0 spec (ADVICE.md round 1)
     std::vector<int64_t> pos(m, -1);   // column -> slot in current row
     std::vector<double> acc(m, 0.0);
 #pragma omp for schedule(dynamic, 64)
@@ -504,7 +507,7 @@ void spgemm_numeric(int64_t n, int64_t m,
         const double va = A_data[ka];
         for (int64_t kb = B_indptr[j]; kb < B_indptr[j + 1]; ++kb) {
           const int32_t c = B_indices[kb];
-          if (pos[c] < start) {        // not yet in this row
+          if (pos[c] < 0) {            // not yet in this row
             pos[c] = start + cnt;
             C_indices[start + cnt] = c;
             acc[c] = va * B_data[kb];
@@ -514,8 +517,10 @@ void spgemm_numeric(int64_t n, int64_t m,
           }
         }
       }
-      for (int64_t s = start; s < start + cnt; ++s)
+      for (int64_t s = start; s < start + cnt; ++s) {
         C_data[s] = acc[C_indices[s]];
+        pos[C_indices[s]] = -1;        // row-local reset
+      }
     }
   }
 }

@@ -95,7 +95,8 @@ def run(argv=None) -> dict:
     if args.dist:
         from .parallel.solver import DistAMGSolver, default_mesh
         solver = DistAMGSolver(A, mesh=default_mesh(args.dist),
-                               params=params, krylov=krylov)
+                               params=params, krylov=krylov,
+                               hierarchy=hierarchy)
     else:
         solver = AMGSolver(A, params, krylov, hierarchy=hierarchy)
     if args.save_hierarchy:

@@ -86,19 +86,20 @@ class DistAMGSolver:
             return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs)
 
-        def inner_solve(levels_st, b_st, tol, maxiter):
-            def body(levels_s, b_s, tol_s):
+        def inner_solve(levels_st, Adf_st, b_st, tol, maxiter):
+            def body(levels_s, Adf_s, b_s, tol_s):
                 levels = local(levels_s)
-                b = b_s[0]
-                mv = lambda v: levels[0].A.spmv(v)
+                Afine = local(Adf_s).A_hi      # fp32 Krylov matvec (the
+                b = b_s[0]                     # cycle may hold bf16 bands)
+                mv = lambda v: Afine.spmv(v)
                 pc = lambda r: cycle(levels, r)
                 dotf = lambda x, y: pdot(x, y, axis,
                                          compensated=kr.compensated_dots)
                 x, iters, rel = inner(mv, pc, b, tol=tol_s, maxiter=maxiter,
                                       dot_fn=dotf)
                 return x[None], iters, rel
-            return shmap(body, (Pr, Pr, Pn), (Pr, Pn, Pn))(
-                levels_st, b_st, tol)
+            return shmap(body, (Pr, Pr, Pr, Pn), (Pr, Pn, Pn))(
+                levels_st, Adf_st, b_st, tol)
 
         self._inner_solve_dev = jax.jit(inner_solve,
                                         static_argnames=("maxiter",))
@@ -113,9 +114,10 @@ class DistAMGSolver:
         n_state = 7 if is_cg else 10
         st_specs = tuple(Pr if i < n_vec else Pn for i in range(n_state))
 
-        def _mk(levels_s):
+        def _mk(levels_s, Adf_s):
             levels = local(levels_s)
-            mv = lambda v: levels[0].A.spmv(v)
+            Afine = local(Adf_s).A_hi          # fp32 Krylov matvec
+            mv = lambda v: Afine.spmv(v)
             pc = lambda r: cycle(levels, r)
             dotf = lambda x, y: pdot(x, y, axis,
                                      compensated=kr.compensated_dots)
@@ -128,18 +130,19 @@ class DistAMGSolver:
             return tuple(v[None] if i < n_vec else v
                          for i, v in enumerate(st))
 
-        def kr_init(levels_st, b_st):
-            def body(levels_s, b_s):
-                mv, pc, dotf = _mk(levels_s)
+        def kr_init(levels_st, Adf_st, b_st):
+            def body(levels_s, Adf_s, b_s):
+                mv, pc, dotf = _mk(levels_s, Adf_s)
                 b = b_s[0]
                 st = (pcg_init(mv, pc, b, dotf) if is_cg
                       else bicgstab_init(mv, b, dotf))
                 return _stack(st)
-            return shmap(body, (Pr, Pr), st_specs)(levels_st, b_st)
+            return shmap(body, (Pr, Pr, Pr), st_specs)(
+                levels_st, Adf_st, b_st)
 
-        def kr_chunk(levels_st, rhat_st, state):
-            def body(levels_s, rhat_s, st):
-                mv, pc, dotf = _mk(levels_s)
+        def kr_chunk(levels_st, Adf_st, rhat_st, state):
+            def body(levels_s, Adf_s, rhat_s, st):
+                mv, pc, dotf = _mk(levels_s, Adf_s)
                 st = _squeeze(st)
                 # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
                 for _ in range(kr.chunk):
@@ -148,8 +151,8 @@ class DistAMGSolver:
                     else:
                         st = bicgstab_step(mv, pc, dotf, rhat_s[0], st)
                 return _stack(st)
-            return shmap(body, (Pr, Pr, st_specs), st_specs)(
-                levels_st, rhat_st, state)
+            return shmap(body, (Pr, Pr, Pr, st_specs), st_specs)(
+                levels_st, Adf_st, rhat_st, state)
 
         self._kr_init = jax.jit(kr_init)
         self._kr_chunk = jax.jit(kr_chunk)
@@ -176,7 +179,7 @@ class DistAMGSolver:
                 Adf = local(Adf_s)
                 bh, bl, xh, xl = bh_s[0], bl_s[0], xh_s[0], xl_s[0]
                 r_hi, r_lo = Adf.residual_df64(bh, bl, xh, xl)
-                mv = lambda v: levels[0].A.spmv(v)
+                mv = lambda v: Adf.A_hi.spmv(v)   # fp32 Krylov matvec
                 pc = lambda r: cycle(levels, r)
                 dotf = lambda x, y: pdot(x, y, axis,
                                          compensated=kr.compensated_dots)
@@ -218,11 +221,12 @@ class DistAMGSolver:
         b_st is the stacked (nd, n_loc) rhs.  Returns (x_st, iters, rel)."""
         kr = self.krylov
         if kr.loop_mode == "device":
-            x, it, rel = self._inner_solve_dev(levels, b_st, tol, kr.maxiter)
+            x, it, rel = self._inner_solve_dev(levels, self.A_df, b_st, tol,
+                                               kr.maxiter)
             return x, int(it), float(rel)
         is_cg = kr.method == "cg"
         i_rr, i_k = (5, 6) if is_cg else (7, 8)
-        state = self._kr_init(levels, b_st)
+        state = self._kr_init(levels, self.A_df, b_st)
         rr0 = float(state[i_rr])
         if rr0 == 0.0:
             return state[0], 0, 0.0
@@ -230,7 +234,7 @@ class DistAMGSolver:
         iters = 0
         rr = rr0
         while iters < maxiter:
-            state = self._kr_chunk(levels, b_st, state)
+            state = self._kr_chunk(levels, self.A_df, b_st, state)
             rr = float(state[i_rr])
             iters = int(state[i_k])
             if rr <= target or not np.isfinite(rr):
@@ -260,8 +264,13 @@ class DistAMGSolver:
         total_iters = 0
 
         if not kr.refine:
-            x, iters, relres = self._inner_solve(self.levels, b_hi, tol,
-                                                 maxiter)
+            x, iters, _ = self._inner_solve(self.levels, b_hi, tol,
+                                            maxiter)
+            # guard: true df64 residual, not the recurrence (VERDICT r1 #7)
+            zeros_x = jnp.zeros_like(x)
+            rnsq = float(self._true_resnorm(self.A_df, b_hi, b_lo,
+                                            x, zeros_x))
+            relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
             x = self.part.unpad_vec(np.asarray(
                 jax.device_get(x), dtype=np.float64).reshape(-1))
             return SolveResult(self._unperm(x), relres <= tol, relres,

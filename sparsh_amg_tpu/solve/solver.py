@@ -210,7 +210,13 @@ class AMGSolver:
         total_iters = 0
 
         if not kr.refine:
-            x, iters, relres = self._inner_solve(levels, b_hi, tol, maxiter)
+            x, iters, _ = self._inner_solve(levels, b_hi, tol, maxiter)
+            # guard: report the TRUE df64 residual, not the recurrence
+            # ||r||^2 (which can drift below tol without the solution
+            # actually being there) — VERDICT r1 weak #7
+            rnsq = float(self._true_resnorm(
+                self.A_df, b_hi, b_lo, x, jnp.zeros_like(x)))
+            relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
             x = np.asarray(jax.device_get(x), dtype=np.float64)[: self.n]
             return SolveResult(self._unperm(x), relres <= tol, relres,
                                iters, 1, self.setup_time,

@@ -146,6 +146,27 @@ def test_dist_solve_nd1_vs_nd8():
     np.testing.assert_allclose(r1.x, r8.x, rtol=1e-6, atol=1e-9)
 
 
+def test_dist_bf16_bands_keep_fp32_krylov_matvec():
+    """ADVICE.md (round 1, medium): with band_dtype=bfloat16 the dist
+    Krylov matvec must use the fp32 A_df.A_hi, not the bf16 cycle bands —
+    otherwise refinement stalls on matrices with bf16-inexact entries.
+    Scaling Poisson by pi/3 makes every entry bf16-inexact."""
+    A = (poisson3d(12) * (np.pi / 3.0)).tocsr()
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40, band_dtype="bfloat16")
+    kr = KrylovParams(tol=1e-8, loop_mode="device")
+    serial = AMGSolver(A, params, kr).solve(b)
+    dist = DistAMGSolver(A, params=params, krylov=kr).solve(b)
+    assert serial.converged and dist.converged
+    assert np.linalg.norm(b - A @ dist.x) / np.linalg.norm(b) <= 1e-8
+    # same algorithm on the same hierarchy: iteration counts and refine
+    # passes must match the serial solver (the bf16-matvec bug showed up
+    # as ~1.5x the iterations and an extra refinement pass)
+    assert dist.refine_passes == serial.refine_passes
+    assert abs(dist.iterations - serial.iterations) <= 2
+
+
 def test_dist_loop_modes_agree():
     """Distributed host-chunked and device while_loop modes agree."""
     A = poisson2d(24)
