@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="reuse a saved hierarchy instead of running setup")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the solve into DIR")
+    p.add_argument("--coarse-solver", default="lu",
+                   choices=["lu", "cholesky", "smooth"])
+    p.add_argument("--verbose", action="store_true",
+                   help="per-chunk/per-pass structured residual logging")
     p.add_argument("--json", action="store_true",
                    help="print one JSON line with the results")
     return p
@@ -65,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def run(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
+    if args.verbose:
+        import logging
+        from .utils.logging import get_logger
+        get_logger().setLevel(logging.DEBUG)
     interp = args.interpolation or (
         "smoothed" if args.coarsening == "aggregation" else "direct")
     params = AMGParams(theta=args.theta, coarsening=args.coarsening,
@@ -72,7 +80,8 @@ def run(argv=None) -> dict:
                        cycle=args.cycle, nu1=args.nu1, nu2=args.nu2,
                        coarse_size=args.coarse_size, reorder=args.reorder,
                        dense_size=args.dense_size,
-                       band_dtype=args.band_dtype)
+                       band_dtype=args.band_dtype,
+                       coarse_solver=args.coarse_solver)
     krylov = KrylovParams(method=args.krylov, tol=args.tol,
                           maxiter=args.maxiter, refine=not args.no_refine,
                           loop_mode=args.loop_mode, chunk=args.chunk)

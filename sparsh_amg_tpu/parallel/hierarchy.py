@@ -78,7 +78,7 @@ class DistDf64:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "dinv", "l1_dinv", "lam_max", "P", "R",
                       "coarse_inv", "L", "U"],
-         meta_fields=["n", "axis"])
+         meta_fields=["n", "axis", "coarse_sweeps"])
 @dataclasses.dataclass(frozen=True)
 class DistLevel:
     """One distributed level.  Field names mirror solve.device.DeviceLevel
@@ -94,16 +94,17 @@ class DistLevel:
     U: object | None = None    # strict upper triangle
     n: int = 0
     axis: str = "rows"
+    coarse_sweeps: int = 16    # l1-Jacobi sweeps when coarse_inv is None
 
     def coarse_solve(self, b_loc: jax.Array) -> jax.Array:
         """x_loc = (A_c^-1 b)_loc: all_gather b, multiply the local row
         slice of the dense inverse on the MXU (reference C17 + C24
-        agglomeration).  Falls back to heavy l1-Jacobi smoothing when the
-        coarsest level was too large to densify."""
+        agglomeration).  Falls back to params.coarse_smooth_sweeps of
+        l1-Jacobi when no dense inverse was built."""
         if self.coarse_inv is None:
             from ..solve.smoothers import l1_jacobi
-            return l1_jacobi(self, b_loc, jnp.zeros_like(b_loc), sweeps=16,
-                             zero_start=True)
+            return l1_jacobi(self, b_loc, jnp.zeros_like(b_loc),
+                             sweeps=self.coarse_sweeps, zero_start=True)
         b_full = jax.lax.all_gather(b_loc, self.axis, tiled=True)
         return jnp.dot(self.coarse_inv, b_full,
                        preferred_element_type=b_loc.dtype)
@@ -165,12 +166,14 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
                             prefer_dia=False, dense_size=pr_dense)
             R = csr_to_dist(lev.R, cpart, part, dtype=bdtype, axis=axis,
                             prefer_dia=False, dense_size=pr_dense)
-        elif n <= params.coarse_inv_max:
+        elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
+            from ..solve.device import dense_inverse
             ncp = part.n_pad
-            dense = np.zeros((ncp, ncp))
-            dense[:n, :n] = np.linalg.inv(A.toarray())
+            dense = np.zeros((ncp, ncp), dtype=np.float32)
+            dense[:n, :n] = dense_inverse(A, params.coarse_solver)
+            # fp32 always, not band_dtype (see solve.device.to_device)
             coarse_inv = jnp.asarray(
-                dense.reshape(nd, part.n_loc, ncp), dtype=bdtype)
+                dense.reshape(nd, part.n_loc, ncp), dtype=dtype)
 
         L = U = None
         if params.smoother == "gs2" and coarse_inv is None:
@@ -184,7 +187,8 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
 
         levels.append(DistLevel(
             A=dev_A, dinv=dinv, l1_dinv=l1_dinv, lam_max=lam_max,
-            P=P, R=R, coarse_inv=coarse_inv, L=L, U=U, n=n, axis=axis))
+            P=P, R=R, coarse_inv=coarse_inv, L=L, U=U, n=n, axis=axis,
+            coarse_sweeps=params.coarse_smooth_sweeps))
     return DistHierarchy(levels=tuple(levels), parts=tuple(parts), nd=nd,
                          axis=axis)
 

@@ -59,12 +59,20 @@ class AMGParams:
     nu1: int = 1                       # pre-smoothing sweeps
     nu2: int = 1                       # post-smoothing sweeps
     cycle: str = "V"                   # V | W | F
-    coarse_solver: str = "lu"          # lu | cholesky | smooth
+    coarse_solver: str = "lu"          # lu | cholesky | smooth: which host
+                                       # factorization builds the explicit
+                                       # coarse inverse (applied as ONE fp32
+                                       # MXU matvec on device — triangular
+                                       # solves are sequential and TPU-
+                                       # hostile); "cholesky" additionally
+                                       # verifies SPD; "smooth" skips the
+                                       # inverse and runs l1-Jacobi sweeps
     coarse_inv_max: int = 8192         # build a dense inverse only if the
                                        # coarsest n is at/below this; else
                                        # fall back to heavy l1-Jacobi sweeps
                                        # (guards stalled coarsening)
-    coarse_smooth_sweeps: int = 16     # sweeps for the smoothing fallback
+    coarse_smooth_sweeps: int = 16     # l1-Jacobi sweeps when no dense
+                                       # inverse exists (smooth / too-large)
     # --- device layout ---
     dtype: str = "float32"             # device solve dtype (vectors, dinv)
     band_dtype: str = "float32"        # matrix-data dtype (bands/vals/
@@ -76,7 +84,6 @@ class AMGParams:
                                        # iteration (vectors stay fp32)
     prefer_dia: bool = True            # use DIA (stencil) layout when it fits
     dia_max_bands: int = 32            # densify-to-bands threshold
-    ell_pad_multiple: int = 8          # pad rows to a multiple of this
     reorder: str = "auto"              # none | rcm | auto: RCM-permute the
                                        # fine matrix when its bandwidth is
                                        # too wide for the DIA/halo layouts

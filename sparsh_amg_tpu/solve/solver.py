@@ -29,6 +29,9 @@ from .cycles import make_cycle
 from .krylov import (pcg, bicgstab, pcg_init, pcg_step, bicgstab_init,
                      bicgstab_step)
 from ..ops.blas import dot as _blas_dot
+from ..utils.logging import get_logger, iteration_log
+
+_log = get_logger(__name__)
 
 
 @dataclasses.dataclass
@@ -165,10 +168,17 @@ class AMGSolver:
         target = (tol * tol) * rr0
         iters = 0
         rr = rr0
+        t0 = time.perf_counter()
         while iters < maxiter:
             state = self._kr_chunk(levels, Afine, b, state)
             rr = float(state[i_rr])
             iters = int(state[i_k])
+            # structured per-chunk record (SURVEY.md §5.5; DEBUG so the
+            # hot loop stays silent by default)
+            if _log.isEnabledFor(10):
+                _log.debug("%s", iteration_log(
+                    iters, float(np.sqrt(max(rr, 0.0) / rr0)),
+                    time.perf_counter() - t0))
             if rr <= target or not np.isfinite(rr):
                 break
             if not is_cg and bool(state[9]):   # BiCGStab breakdown
@@ -243,6 +253,8 @@ class AMGSolver:
                 self.A_df, b_hi, b_lo, x_hi, x_lo))
             relres = float(np.sqrt(max(rnsq_after, 0.0))) / bnorm
             history.append((int(iters), relres))
+            _log.debug("refine pass %d: inner_iters=%d relres=%.3e",
+                       passes, int(iters), relres)
             if relres <= tol:
                 converged = True
                 break

@@ -6,15 +6,22 @@ from __future__ import annotations
 import logging
 
 
-def get_logger(name: str = "sparsh_amg_tpu") -> logging.Logger:
-    logger = logging.getLogger(name)
-    if not logger.handlers:
+_ROOT = "sparsh_amg_tpu"
+
+
+def get_logger(name: str = _ROOT) -> logging.Logger:
+    """Package logger.  The handler lives on the package root; module
+    loggers (children) propagate to it, so one
+    ``get_logger().setLevel(logging.DEBUG)`` enables the per-iteration
+    records everywhere (CLI --verbose does exactly that)."""
+    root = logging.getLogger(_ROOT)
+    if not root.handlers:
         h = logging.StreamHandler()
         h.setFormatter(logging.Formatter(
             "%(asctime)s %(name)s %(levelname)s %(message)s"))
-        logger.addHandler(h)
-        logger.setLevel(logging.INFO)
-    return logger
+        root.addHandler(h)
+        root.setLevel(logging.INFO)
+    return logging.getLogger(name)
 
 
 def iteration_log(iteration: int, relres: float, elapsed_s: float) -> dict:
