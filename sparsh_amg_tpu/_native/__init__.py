@@ -97,6 +97,33 @@ def get_lib():
             _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _ptr(np.int64),
             _ptr(np.int32), _ptr(np.float64),
         ]
+        lib.extpi_symbolic.restype = _i64
+        lib.extpi_symbolic.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.uint8),
+            _ptr(np.int8), _ptr(np.int64),
+        ]
+        lib.extpi_numeric.restype = None
+        lib.extpi_numeric.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.float64),
+        ]
+        lib.truncate_interp.restype = None
+        lib.truncate_interp.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64), _i64,
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+        ]
+        lib.rap_filter_symbolic.restype = _i64
+        lib.rap_filter_symbolic.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64), _f64,
+            _ptr(np.float64), _ptr(np.int64),
+        ]
+        lib.rap_filter_numeric.restype = None
+        lib.rap_filter_numeric.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64), _f64,
+            _ptr(np.float64), _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.float64),
+        ]
         lib.rcm_order.restype = _i64
         lib.rcm_order.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int32),

@@ -402,6 +402,261 @@ int64_t direct_interp(int64_t n, const int64_t* indptr, const int32_t* indices,
 }
 
 // ---------------------------------------------------------------------------
+// Extended+i (distance-two) interpolation (De Sterck/Falgout/Nolting/Yang
+// NLAA 2008; hypre interp_type 6) — the standard pairing for aggressive
+// PMIS/HMIS coarsening, where an F-point's nearest C-point can be two hops
+// away.  Chat_i = strong C-neighbours of i plus those of i's strong
+// F-neighbours; each strong F-neighbour k distributes a_ik over
+// Chat_i ∪ {i} weighted by the sign-opposite part of row k.  Two-phase
+// (symbolic row counts, then parallel numeric fill); rows independent.
+// ---------------------------------------------------------------------------
+
+int64_t extpi_symbolic(int64_t n, const int64_t* indptr,
+                       const int32_t* indices, const uint8_t* strong,
+                       const int8_t* cf, int64_t* P_indptr) {
+  std::vector<int64_t> counts(n, 0);
+#pragma omp parallel
+  {
+    std::vector<int64_t> mark(n, -1);
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] == 1) {  // C-point: injection
+        counts[i] = 1;
+        continue;
+      }
+      int64_t cnt = 0;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        if (!strong[k] || j == (int32_t)i) continue;
+        if (cf[j] == 1) {
+          if (mark[j] != i) { mark[j] = i; ++cnt; }
+        } else {
+          for (int64_t k2 = indptr[j]; k2 < indptr[j + 1]; ++k2) {
+            const int32_t j2 = indices[k2];
+            if (!strong[k2] || cf[j2] != 1) continue;
+            if (mark[j2] != i) { mark[j2] = i; ++cnt; }
+          }
+        }
+      }
+      counts[i] = cnt;
+    }
+  }
+  P_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) P_indptr[i + 1] = P_indptr[i] + counts[i];
+  return P_indptr[n];
+}
+
+void extpi_numeric(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const double* data, const uint8_t* strong,
+                   const int8_t* cf, const int32_t* cmap,
+                   const int64_t* P_indptr, int32_t* P_indices,
+                   double* P_data) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> pos(n, -1);   // column -> slot in Chat (row-local)
+    std::vector<double> acc;
+    std::vector<int32_t> chat;
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t start = P_indptr[i];
+      if (cf[i] == 1) {
+        P_indices[start] = cmap[i];
+        P_data[start] = 1.0;
+        continue;
+      }
+      // pass 1: Chat_i (identical enumeration to extpi_symbolic)
+      chat.clear();
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        if (!strong[k] || j == (int32_t)i) continue;
+        if (cf[j] == 1) {
+          if (pos[j] < 0) { pos[j] = (int64_t)chat.size(); chat.push_back(j); }
+        } else {
+          for (int64_t k2 = indptr[j]; k2 < indptr[j + 1]; ++k2) {
+            const int32_t j2 = indices[k2];
+            if (!strong[k2] || cf[j2] != 1) continue;
+            if (pos[j2] < 0) {
+              pos[j2] = (int64_t)chat.size();
+              chat.push_back(j2);
+            }
+          }
+        }
+      }
+      acc.assign(chat.size(), 0.0);
+      double D = 0.0;
+      // pass 2: accumulate numerators and the denominator
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        const double a_ij = data[k];
+        if (j == (int32_t)i) {
+          D += a_ij;                           // a_ii
+          continue;
+        }
+        if (strong[k] && cf[j] != 1) {
+          // strong F-neighbour: distribute over Chat ∪ {i}
+          double a_jj = 0.0;
+          for (int64_t k2 = indptr[j]; k2 < indptr[j + 1]; ++k2)
+            if (indices[k2] == j) { a_jj = data[k2]; break; }
+          double d = 0.0;
+          for (int64_t k2 = indptr[j]; k2 < indptr[j + 1]; ++k2) {
+            const int32_t l = indices[k2];
+            const double v = data[k2];
+            if (v * a_jj >= 0.0) continue;     // abar: opposite-sign part
+            if (l == (int32_t)i || pos[l] >= 0) d += v;
+          }
+          if (d == 0.0) {
+            D += a_ij;                         // no path back into Chat: lump
+            continue;
+          }
+          const double f = a_ij / d;
+          for (int64_t k2 = indptr[j]; k2 < indptr[j + 1]; ++k2) {
+            const int32_t l = indices[k2];
+            const double v = data[k2];
+            if (v * a_jj >= 0.0) continue;
+            if (l == (int32_t)i)
+              D += f * v;
+            else if (pos[l] >= 0)
+              acc[pos[l]] += f * v;
+          }
+        } else if (pos[j] >= 0) {
+          acc[pos[j]] += a_ij;                 // direct term, j in Chat
+        } else {
+          D += a_ij;                           // weak outside Chat: lump
+        }
+      }
+      const double inv = (D != 0.0) ? (-1.0 / D) : 0.0;
+      for (size_t s = 0; s < chat.size(); ++s) {
+        P_indices[start + (int64_t)s] = cmap[chat[s]];
+        P_data[start + (int64_t)s] = inv * acc[s];
+        pos[chat[s]] = -1;                     // row-local reset
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Interpolation truncation (hypre P_max_elmts): keep the max_per_row
+// largest-|w| entries per row, rescaling so positive and negative row sums
+// are separately preserved.  Output row sizes are min(nnz_i, max_per_row),
+// known up front, so the fill is one parallel pass.  Ties keep the
+// lower slot (matches the numpy stable argsort oracle).
+// ---------------------------------------------------------------------------
+void truncate_interp(int64_t n, const int64_t* indptr,
+                     const int32_t* indices, const double* data,
+                     int64_t max_per_row, int64_t* P_indptr,
+                     int32_t* P_indices, double* P_data) {
+  P_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t len = indptr[i + 1] - indptr[i];
+    P_indptr[i + 1] = P_indptr[i] + (len < max_per_row ? len : max_per_row);
+  }
+#pragma omp parallel
+  {
+    std::vector<int64_t> slots;
+#pragma omp for schedule(dynamic, 1024)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t a0 = indptr[i], a1 = indptr[i + 1];
+      const int64_t len = a1 - a0;
+      int64_t out = P_indptr[i];
+      if (len <= max_per_row) {
+        for (int64_t k = a0; k < a1; ++k) {
+          P_indices[out] = indices[k];
+          P_data[out] = data[k];
+          ++out;
+        }
+        continue;
+      }
+      slots.resize(len);
+      for (int64_t s = 0; s < len; ++s) slots[s] = a0 + s;
+      std::sort(slots.begin(), slots.end(), [&](int64_t a, int64_t b) {
+        const double fa = std::fabs(data[a]), fb = std::fabs(data[b]);
+        if (fa != fb) return fa > fb;
+        return a < b;
+      });
+      slots.resize(max_per_row);
+      std::sort(slots.begin(), slots.end());   // restore original order
+      double pos_all = 0.0, neg_all = 0.0, pos_kept = 0.0, neg_kept = 0.0;
+      for (int64_t k = a0; k < a1; ++k)
+        (data[k] > 0 ? pos_all : neg_all) += data[k];
+      for (int64_t s : slots)
+        (data[s] > 0 ? pos_kept : neg_kept) += data[s];
+      const double s_pos = (pos_kept != 0.0) ? pos_all / pos_kept : 1.0;
+      const double s_neg = (neg_kept != 0.0) ? neg_all / neg_kept : 1.0;
+      for (int64_t s : slots) {
+        P_indices[out] = indices[s];
+        P_data[out] = data[s] * (data[s] > 0 ? s_pos : s_neg);
+        ++out;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Galerkin operator filtering (ML-style): drop |a_ij| < tol*sqrt(|a_ii a_jj|)
+// and lump the dropped mass into the diagonal.  Two-pass over a CSR that
+// already contains its diagonal entries.
+// ---------------------------------------------------------------------------
+int64_t rap_filter_symbolic(int64_t n, const int64_t* indptr,
+                            const int32_t* indices, const double* data,
+                            double drop_tol, double* diag_abs,
+                            int64_t* C_indptr) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    diag_abs[i] = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (indices[k] == (int32_t)i) {
+        diag_abs[i] = std::fabs(data[k]);
+        break;
+      }
+  }
+  std::vector<int64_t> counts(n, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cnt = 0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j == (int32_t)i ||
+          std::fabs(data[k]) >= drop_tol * std::sqrt(diag_abs[i] * diag_abs[j]))
+        ++cnt;
+    }
+    counts[i] = cnt;
+  }
+  C_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) C_indptr[i + 1] = C_indptr[i] + counts[i];
+  return C_indptr[n];
+}
+
+void rap_filter_numeric(int64_t n, const int64_t* indptr,
+                        const int32_t* indices, const double* data,
+                        double drop_tol, const double* diag_abs,
+                        const int64_t* C_indptr, int32_t* C_indices,
+                        double* C_data) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t out = C_indptr[i];
+    int64_t diag_slot = -1;
+    double lump = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j == (int32_t)i) {
+        diag_slot = out;
+        C_indices[out] = j;
+        C_data[out] = data[k];
+        ++out;
+      } else if (std::fabs(data[k]) >=
+                 drop_tol * std::sqrt(diag_abs[i] * diag_abs[j])) {
+        C_indices[out] = j;
+        C_data[out] = data[k];
+        ++out;
+      } else {
+        lump += data[k];
+      }
+    }
+    if (diag_slot >= 0) C_data[diag_slot] += lump;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Reverse Cuthill-McKee ordering (bandwidth reduction for device layouts)
 // ---------------------------------------------------------------------------
 int64_t rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,

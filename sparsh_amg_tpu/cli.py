@@ -28,9 +28,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--theta", type=float, default=0.25)
     p.add_argument("--coarsening", default="rs",
-                   choices=["rs", "pmis", "aggregation"])
+                   choices=["rs", "pmis", "hmis", "aggregation"])
     p.add_argument("--interpolation", default=None,
-                   choices=[None, "direct", "tentative", "smoothed"])
+                   choices=[None, "direct", "extpi", "tentative", "smoothed"])
+    p.add_argument("--interp-max", type=int, default=6,
+                   help="max interpolation entries per row (truncation)")
+    p.add_argument("--agg-levels", type=int, default=0,
+                   help="aggressive (composed double) coarsening on the "
+                        "first k levels")
+    p.add_argument("--rap-drop-tol", type=float, default=0.0,
+                   help="Galerkin operator drop/lump filter threshold")
     p.add_argument("--smoother", default="jacobi",
                    choices=["jacobi", "l1jacobi", "chebyshev", "gs2"])
     p.add_argument("--cycle", default="V", choices=["V", "W", "F"])
@@ -81,7 +88,10 @@ def run(argv=None) -> dict:
                        coarse_size=args.coarse_size, reorder=args.reorder,
                        dense_size=args.dense_size,
                        band_dtype=args.band_dtype,
-                       coarse_solver=args.coarse_solver)
+                       coarse_solver=args.coarse_solver,
+                       interp_max=args.interp_max,
+                       agg_levels=args.agg_levels,
+                       rap_drop_tol=args.rap_drop_tol)
     krylov = KrylovParams(method=args.krylov, tol=args.tol,
                           maxiter=args.maxiter, refine=not args.no_refine,
                           loop_mode=args.loop_mode, chunk=args.chunk)

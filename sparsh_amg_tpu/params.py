@@ -27,10 +27,22 @@ class AMGParams:
                                        # aggregation (|a_ij| vs sqrt(a_ii a_jj);
                                        # 0.25 would mark NOTHING strong on a
                                        # 3-D Laplacian where offdiag/diag=1/6)
-    coarsening: str = "rs"             # rs | pmis | aggregation
-    interpolation: str = "direct"      # direct | tentative | smoothed
+    coarsening: str = "rs"             # rs | pmis | hmis | aggregation
+    interpolation: str = "direct"      # direct | extpi | tentative | smoothed
+                                       # (extpi = extended+i distance-two
+                                       # interpolation — the pairing for
+                                       # aggressive pmis/hmis coarsening)
     interp_max: int = 6                # max interpolation entries per row
                                        # (hypre P_max_elmts; 0 = no limit)
+    agg_levels: int = 0                # apply AGGRESSIVE coarsening on the
+                                       # first k hierarchy steps: two
+                                       # coarsening+interp rounds composed
+                                       # into one transfer (P = P1 @ P2,
+                                       # Galerkin operator unchanged —
+                                       # A2 = P2^T (P1^T A P1) P2), so the
+                                       # intermediate level never enters
+                                       # the cycle (hypre agg_num_levels /
+                                       # Notay double-pairwise analogue)
     rap_drop_tol: float = 0.0          # drop coarse-operator entries with
                                        # |a_ij| < tol*sqrt(a_ii*a_jj), lumped
                                        # to the diagonal (ML-style filtering;

@@ -61,6 +61,22 @@ def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
     Ac.eliminate_zeros()
     if drop_tol > 0.0 and Ac.nnz:
         n = Ac.shape[0]
+        lib = get_lib()
+        if lib is not None:
+            indptr, indices, data = csr_arrays(Ac)
+            diag_abs = np.empty(n, dtype=np.float64)
+            C_indptr = np.empty(n + 1, dtype=np.int64)
+            nnz = lib.rap_filter_symbolic(n, indptr, indices, data,
+                                          float(drop_tol), diag_abs,
+                                          C_indptr)
+            C_indices = np.empty(nnz, dtype=np.int32)
+            C_data = np.empty(nnz, dtype=np.float64)
+            lib.rap_filter_numeric(n, indptr, indices, data,
+                                   float(drop_tol), diag_abs, C_indptr,
+                                   C_indices, C_data)
+            Ac = sp.csr_matrix((C_data, C_indices, C_indptr), shape=Ac.shape)
+            Ac.eliminate_zeros()
+            return Ac
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(Ac.indptr))
         dmask = Ac.indices == rows
         diag = np.zeros(n)

@@ -16,10 +16,11 @@ import scipy.sparse as sp
 from ..params import AMGParams
 from .strength import classical_strength, symmetric_strength
 from .splitting import rs_splitting, pmis_splitting
-from .interp import direct_interpolation, truncate_rows
+from .interp import (direct_interpolation, extpi_interpolation,
+                     truncate_rows)
 from .aggregate import (greedy_aggregation, tentative_prolongator,
                         smooth_prolongator)
-from .galerkin import galerkin_product
+from .galerkin import galerkin_product, spgemm
 
 
 @dataclasses.dataclass
@@ -67,16 +68,24 @@ class Hierarchy:
 
 def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
     """One setup step: returns (P, cf, agg) or None if coarsening stalls."""
-    if params.coarsening in ("rs", "pmis"):
+    if params.coarsening in ("rs", "pmis", "hmis"):
         strong_mask, S = classical_strength(A, params.theta)
         if params.coarsening == "rs":
             cf = rs_splitting(S)
+        elif params.coarsening == "hmis":
+            # one-pass RS (no F-F second pass): the serial core of HMIS
+            # (De Sterck/Yang/Heys 2006) — aggressive like PMIS but
+            # seeded by the RS measure; pair with distance-2 interp
+            cf = rs_splitting(S, second_pass=False)
         else:
             cf = pmis_splitting(S)
         n_c = int((cf == 1).sum())
         if n_c == 0 or n_c >= A.shape[0]:
             return None
-        P = direct_interpolation(A, strong_mask, cf)
+        if params.interpolation == "extpi":
+            P = extpi_interpolation(A, strong_mask, cf)
+        else:
+            P = direct_interpolation(A, strong_mask, cf)
         P = truncate_rows(P, params.interp_max)
         return P, cf, None
     elif params.coarsening == "aggregation":
@@ -104,9 +113,23 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None) -> Hierarchy:
         if out is None:
             break
         P, cf, agg = out
-        R = P.T.tocsr()
-        Ac = galerkin_product(levels[-1].A, P, R,
+        Ac = galerkin_product(levels[-1].A, P,
                               drop_tol=params.rap_drop_tol)
+        # aggressive coarsening: compose a second coarsening round so the
+        # intermediate grid never becomes a cycle level.  The Galerkin
+        # operator is exactly the two-step one (A2 = P2^T (P1^T A P1) P2);
+        # only the stored transfer is the product P1@P2.
+        if (len(levels) <= params.agg_levels
+                and params.coarsening in ("rs", "pmis", "hmis")
+                and Ac.shape[0] > params.coarse_size):
+            out2 = _coarsen_once(Ac, params)
+            if out2 is not None:
+                P2, _, _ = out2
+                P = spgemm(P, P2)
+                cf = None               # composed split has no single C/F
+                Ac = galerkin_product(Ac, P2,
+                                      drop_tol=params.rap_drop_tol)
+        R = P.T.tocsr()
         levels[-1].P = P
         levels[-1].R = R
         levels[-1].cf = cf

@@ -177,3 +177,83 @@ def test_hierarchy_aggregation():
     assert hier.n_levels >= 2
     ns = [l.n for l in hier.levels]
     assert ns[1] < ns[0] / 2
+
+
+def test_extpi_native_matches_numpy():
+    """Native ext+i kernel against the row-loop numpy oracle."""
+    for A, theta in [(poisson2d(16), 0.25), (anisotropic2d(14), 0.25),
+                     (poisson3d(8), 0.25)]:
+        A = A.tocsr()
+        mask, S = classical_strength(A, theta)
+        cf = spl.pmis_splitting(S)
+        is_c = cf == 1
+        cmap = np.cumsum(is_c, dtype=np.int64) - 1
+        P_nat = itp.extpi_interpolation(A, mask, cf)
+        P_py = itp._extpi_numpy(A, mask, cf, cmap, int(is_c.sum()))
+        d = abs(P_nat - P_py)
+        assert (d.max() if d.nnz else 0.0) < 1e-12
+
+
+def test_extpi_preserves_constants_interior():
+    """ext+i row sums are 1 away from the Dirichlet boundary (constant
+    vectors interpolate exactly — the AMG design property)."""
+    m = 20
+    A = poisson2d(m).tocsr()
+    mask, S = classical_strength(A, 0.25)
+    cf = spl.pmis_splitting(S)
+    P = itp.extpi_interpolation(A, mask, cf)
+    rs = np.asarray(P.sum(axis=1)).ravel()
+    interior = np.ones(m * m, dtype=bool).reshape(m, m)
+    interior[:2] = interior[-2:] = False
+    interior[:, :2] = interior[:, -2:] = False
+    np.testing.assert_allclose(rs[interior.ravel()], 1.0, atol=1e-12)
+
+
+def test_truncate_rows_native_matches_numpy():
+    """Native truncate_interp against the padded-table numpy path."""
+    from sparsh_amg_tpu import _native
+    A = poisson3d(10).tocsr()
+    mask, S = classical_strength(A, 0.25)
+    cf = spl.pmis_splitting(S)
+    P = itp.extpi_interpolation(A, mask, cf)
+    t_nat = itp.truncate_rows(P, 3)
+    lib = _native._LIB
+    try:
+        _native._LIB = None
+        t_py = itp.truncate_rows(P, 3)
+    finally:
+        _native._LIB = lib
+    d = abs(t_nat - t_py)
+    assert (d.max() if d.nnz else 0.0) < 1e-12
+    assert int(np.diff(t_nat.indptr).max()) <= 3
+
+
+def test_rap_filter_native_matches_numpy():
+    from sparsh_amg_tpu import _native
+    from sparsh_amg_tpu.setup.galerkin import galerkin_product
+    A = poisson3d(10).tocsr()
+    mask, S = classical_strength(A, 0.25)
+    cf = spl.pmis_splitting(S)
+    P = itp.extpi_interpolation(A, mask, cf)
+    Ac_nat = galerkin_product(A, P, drop_tol=0.01)
+    lib = _native._LIB
+    try:
+        _native._LIB = None
+        Ac_py = galerkin_product(A, P, drop_tol=0.01)
+    finally:
+        _native._LIB = lib
+    d = abs(Ac_nat - Ac_py)
+    assert (d.max() if d.nnz else 0.0) < 1e-12
+
+
+def test_pmis_extpi_hierarchy_quality():
+    """The aggressive-coarsening configuration beats rs+direct on operator
+    complexity without losing convergence (VERDICT r1 next-round #1)."""
+    A = poisson3d(24)
+    base = amg_setup(A, AMGParams(coarsening="rs", interpolation="direct"))
+    aggr = amg_setup(A, AMGParams(
+        coarsening="pmis", interpolation="extpi", interp_max=4,
+        rap_drop_tol=0.01, agg_levels=1))
+    assert aggr.operator_complexity() < 0.65 * base.operator_complexity()
+    assert aggr.operator_complexity() < 1.5
+    assert aggr.n_levels < base.n_levels

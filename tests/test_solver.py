@@ -134,3 +134,22 @@ def test_no_refine_reports_true_residual():
     true_rel = np.linalg.norm(b - A @ res.x) / np.linalg.norm(b)
     assert not res.converged           # fp32 inner solve cannot hit 1e-12
     assert abs(res.relres - true_rel) <= 1e-3 * max(true_rel, 1e-30)
+
+
+def test_pmis_extpi_aggressive_grid_independent():
+    """Aggressive PMIS + ext+i (the round-2 flagship setup config) keeps
+    AMG's grid-independent iteration counts at opC ~1.2."""
+    params = AMGParams(coarsening="pmis", interpolation="extpi",
+                       interp_max=4, rap_drop_tol=0.01, agg_levels=1,
+                       smoother="chebyshev")
+    iters = []
+    for m in (16, 24, 32):
+        A = poisson3d(m)
+        b = np.random.default_rng(m).standard_normal(A.shape[0])
+        s = AMGSolver(A, params, KrylovParams(tol=1e-8))
+        r = s.solve(b)
+        assert r.converged
+        assert s.hierarchy.operator_complexity() < 1.6
+        iters.append(r.iterations)
+    assert max(iters) <= 18
+    assert max(iters) - min(iters) <= 4
