@@ -109,21 +109,28 @@ def main():
     A = poisson3d(nside)
     gen_s = time.perf_counter() - t0
 
-    interp = "smoothed" if args.coarsening == "aggregation" else "direct"
+    # Round-2 flagship setup: aggressive PMIS + ext+i distance-two
+    # interpolation with a composed first coarsening step and ML-style RAP
+    # filtering — opC 1.2 vs round 1's 3.4, 4-5 levels vs 11, identical
+    # iteration counts (12); the coarse levels stay sparse (nnz/row <= ~55)
+    # so no GB-scale dense blocks are materialized or uploaded.
+    if args.coarsening == "aggregation":
+        interp = "smoothed"
+        extra = {}
+    else:
+        interp = "extpi"
+        extra = dict(interp_max=4, rap_drop_tol=0.01, agg_levels=1)
+        if args.coarsening == "rs":
+            args.coarsening = "pmis"   # flagship pairing
     params = AMGParams(smoother="chebyshev", cycle="V",
                        band_dtype="bfloat16",
                        coarsening=args.coarsening, interpolation=interp,
-                       # densify every irregular coarse level (they carry
-                       # thousands of distinct diagonals — ELL gathers are
-                       # launch-storms; a dense MXU matvec is ONE kernel,
-                       # and bf16 keeps ~20k^2 blocks under 1 GB), and run
-                       # degree-1 Chebyshev below level 2 (zero measured
-                       # iteration cost, 3x fewer coarse-level kernels)
-                       dense_size=22000, cheby_degree_coarse=1,
-                       # degree-1 from level 1 (zero measured iteration
-                       # cost on 3-D Poisson; level 1 carries ~23 bands,
-                       # the dominant byte stream after level 0)
-                       cheby_coarse_from=1)
+                       # dense MXU matvec for small levels (one kernel —
+                       # coarse ELL gathers are launch-storms through the
+                       # relay); with opC 1.2 no level between ~30k and
+                       # ~4k exists, so the cap stays modest
+                       dense_size=8192, cheby_degree_coarse=1,
+                       cheby_coarse_from=1, **extra)
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,

@@ -26,6 +26,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="poisson2d|poisson3d|anisotropic|elasticity|convection or a "
                         "path to a MatrixMarket .mtx file")
     p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--rhs", default=None, metavar="PATH",
+                   help="right-hand-side file (.mtx array or plain text); "
+                        "default is a seeded random vector")
     p.add_argument("--theta", type=float, default=0.25)
     p.add_argument("--coarsening", default="rs",
                    choices=["rs", "pmis", "hmis", "aggregation"])
@@ -96,16 +99,21 @@ def run(argv=None) -> dict:
                           maxiter=args.maxiter, refine=not args.no_refine,
                           loop_mode=args.loop_mode, chunk=args.chunk)
 
-    if args.problem.endswith(".mtx"):
-        import scipy.io
-        import scipy.sparse as sp
-        A = sp.csr_matrix(scipy.io.mmread(args.problem))
-        rng = np.random.default_rng(0)
-        b = rng.standard_normal(A.shape[0])
+    if args.problem.endswith((".mtx", ".mm")):
+        from .utils.io import read_matrix, read_rhs
+        A = read_matrix(args.problem)
+        if args.rhs:
+            b = read_rhs(args.rhs, n=A.shape[0])
+        else:
+            rng = np.random.default_rng(0)
+            b = rng.standard_normal(A.shape[0])
         name = args.problem
     else:
         prob = get_problem(args.problem, n=args.n)
         A, b, name = prob.A, prob.b, prob.name
+        if args.rhs:
+            from .utils.io import read_rhs
+            b = read_rhs(args.rhs, n=A.shape[0])
 
     hierarchy = None
     if args.load_hierarchy:

@@ -1,0 +1,127 @@
+"""Convergence-parity harness (SURVEY.md §4.3, VERDICT r1 next-round #3).
+
+The named SuiteSparse matrices (thermal2, parabolic_fem, G3_circuit) are
+unfetchable in this zero-egress environment, so per SURVEY §4.3 the parity
+baseline is the first verified run of this implementation: the table below
+pins expected iteration counts (±2) for every built-in problem family and
+the committed ``.mtx`` fixtures, so convergence-quality regressions fail
+loudly instead of hiding under ``maxiter``.
+
+Pinned 2026-08-17 (round 2) on the CPU backend; the device while_loop and
+host-chunk paths give identical counts up to chunk rounding.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sparsh_amg_tpu.models import (poisson2d, poisson3d, anisotropic2d,
+                                   elasticity2d, convection2d)
+from sparsh_amg_tpu.params import AMGParams, KrylovParams
+from sparsh_amg_tpu.solve.solver import AMGSolver
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+AGGRESSIVE = dict(coarsening="pmis", interpolation="extpi", interp_max=4,
+                  rap_drop_tol=0.01, agg_levels=1)
+
+# (name, builder, params, krylov, expected_iters)
+PARITY_TABLE = [
+    ("poisson2d_64_jacobi_V_cg", lambda: poisson2d(64),
+     AMGParams(smoother="jacobi"), KrylovParams(), 12),
+    ("poisson2d_64_cheby_V_cg", lambda: poisson2d(64),
+     AMGParams(smoother="chebyshev"), KrylovParams(), 12),
+    ("poisson3d_24_cheby_V_cg", lambda: poisson3d(24),
+     AMGParams(smoother="chebyshev"), KrylovParams(), 12),
+    ("poisson3d_24_aggressive", lambda: poisson3d(24),
+     AMGParams(smoother="chebyshev", **AGGRESSIVE), KrylovParams(), 12),
+    ("anisotropic2d_48_agg_W_bicgstab", lambda: anisotropic2d(48),
+     AMGParams(coarsening="aggregation", interpolation="smoothed",
+               cycle="W", smoother="chebyshev"),
+     KrylovParams(method="bicgstab"), 20),
+    ("convection2d_48_gs2_V_bicgstab", lambda: convection2d(48),
+     AMGParams(smoother="gs2"), KrylovParams(method="bicgstab"), 12),
+    ("elasticity2d_24_agg_V_cg", lambda: elasticity2d(24),
+     AMGParams(coarsening="aggregation", interpolation="smoothed",
+               smoother="chebyshev", coarse_size=200),
+     KrylovParams(maxiter=300), 44),
+]
+
+
+@pytest.mark.parametrize(
+    "name,builder,params,krylov,expected",
+    PARITY_TABLE, ids=[c[0] for c in PARITY_TABLE])
+def test_pinned_iteration_counts(name, builder, params, krylov, expected):
+    A = builder()
+    b = np.random.default_rng(17).standard_normal(A.shape[0])
+    res = AMGSolver(A, params, krylov).solve(b)
+    assert res.converged, f"{name}: did not converge ({res})"
+    assert abs(res.iterations - expected) <= 2, (
+        f"{name}: iterations {res.iterations} drifted from pinned "
+        f"{expected} (±2) — convergence-quality regression")
+
+
+# ---------------------------------------------------------------------------
+# .mtx fixture ingestion through the CLI (BASELINE config[3] surface)
+# ---------------------------------------------------------------------------
+
+FIXTURE_EXPECT = {
+    # fixture -> (cli extra args, expected iters)
+    "poisson2d_32.mtx": ([], 11),
+    "poisson3d_10.mtx": (["--smoother", "chebyshev"], 12),
+    "anisotropic2d_24.mtx": (["--coarsening", "aggregation",
+                              "--krylov", "bicgstab", "--cycle", "W"], 20),
+    "elasticity2d_12.mtx": (["--coarsening", "aggregation",
+                             "--smoother", "chebyshev",
+                             "--coarse-size", "100",
+                             "--maxiter", "300"], 27),
+    "convection2d_24.mtx": (["--smoother", "gs2",
+                             "--krylov", "bicgstab"], 12),
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(FIXTURE_EXPECT))
+def test_cli_mtx_ingestion(fixture, capsys):
+    """End-to-end: CLI reads a committed MatrixMarket fixture, solves to
+    1e-8, reports converged with the pinned iteration count."""
+    from sparsh_amg_tpu.cli import run
+    extra, expected = FIXTURE_EXPECT[fixture]
+    out = run(["--problem", os.path.join(FIX, fixture),
+               "--coarse-size", "64", "--json"] + extra)
+    capsys.readouterr()
+    assert out["converged"], f"{fixture}: {out}"
+    assert out["relres"] <= 1e-8
+    assert abs(out["iterations"] - expected) <= 2, (
+        f"{fixture}: iterations {out['iterations']} vs pinned {expected}")
+
+
+def test_cli_rhs_file(tmp_path, capsys):
+    """--rhs reads MatrixMarket-array and plain-text vectors."""
+    from sparsh_amg_tpu.cli import run
+    mtx = os.path.join(FIX, "poisson2d_32.mtx")
+    for rhs in ("poisson2d_32_rhs.mtx", "poisson2d_32_rhs.txt"):
+        out = run(["--problem", mtx, "--rhs", os.path.join(FIX, rhs),
+                   "--json"])
+        capsys.readouterr()
+        assert out["converged"]
+    # wrong length is rejected
+    bad = str(tmp_path / "bad.txt")
+    np.savetxt(bad, np.ones(7))
+    with pytest.raises(ValueError, match="does not match"):
+        run(["--problem", mtx, "--rhs", bad, "--json"])
+
+
+def test_matrix_io_roundtrip(tmp_path):
+    from sparsh_amg_tpu.utils.io import (read_matrix, write_matrix,
+                                         read_rhs, write_rhs)
+    A = anisotropic2d(10)
+    p = str(tmp_path / "a.mtx")
+    write_matrix(p, A)
+    B = read_matrix(p)
+    assert (abs(A - B)).max() < 1e-14
+    b = np.random.default_rng(0).standard_normal(A.shape[0])
+    for ext in ("b.mtx", "b.txt"):
+        q = str(tmp_path / ext)
+        write_rhs(q, b)
+        np.testing.assert_allclose(read_rhs(q, n=len(b)), b, atol=1e-12)
