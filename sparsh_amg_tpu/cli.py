@@ -108,9 +108,11 @@ def run(argv=None) -> dict:
             rng = np.random.default_rng(0)
             b = rng.standard_normal(A.shape[0])
         name = args.problem
+        nullspace = None
     else:
         prob = get_problem(args.problem, n=args.n)
         A, b, name = prob.A, prob.b, prob.name
+        nullspace = prob.nullspace
         if args.rhs:
             from .utils.io import read_rhs
             b = read_rhs(args.rhs, n=A.shape[0])
@@ -123,9 +125,10 @@ def run(argv=None) -> dict:
         from .parallel.solver import DistAMGSolver, default_mesh
         solver = DistAMGSolver(A, mesh=default_mesh(args.dist),
                                params=params, krylov=krylov,
-                               hierarchy=hierarchy)
+                               hierarchy=hierarchy, nullspace=nullspace)
     else:
-        solver = AMGSolver(A, params, krylov, hierarchy=hierarchy)
+        solver = AMGSolver(A, params, krylov, hierarchy=hierarchy,
+                           nullspace=nullspace)
     if args.save_hierarchy:
         from .utils.serialize import save_hierarchy
         save_hierarchy(args.save_hierarchy, solver.hierarchy)

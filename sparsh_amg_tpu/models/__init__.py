@@ -9,7 +9,7 @@ scipy Kronecker products.
 from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
 from .convection import convection2d
-from .elasticity import elasticity2d
+from .elasticity import elasticity2d, elasticity2d_nullspace
 from .problem import Problem, get_problem
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "anisotropic2d",
     "convection2d",
     "elasticity2d",
+    "elasticity2d_nullspace",
     "Problem",
     "get_problem",
 ]

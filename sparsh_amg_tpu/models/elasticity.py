@@ -42,6 +42,30 @@ def _q1_elasticity_element(E: float, nu: float) -> np.ndarray:
     return Ke
 
 
+def elasticity2d_nullspace(nx: int, ny: int | None = None) -> np.ndarray:
+    """The three 2-D rigid-body modes — translations (1,0), (0,1) and the
+    in-plane rotation (-y, x) — evaluated at the free dofs of
+    :func:`elasticity2d` (same clamping/elimination).  This is the
+    near-nullspace basis smoothed aggregation needs for grid-independent
+    convergence on elasticity (Vanek/Mandel/Brezina 1996)."""
+    ny = nx if ny is None else ny
+    nnx, nny = nx + 1, ny + 1
+    iy, ix = np.meshgrid(np.arange(nny), np.arange(nnx), indexing="ij")
+    x = ix.ravel() / nx
+    y = iy.ravel() / ny
+    n_nodes = nnx * nny
+    B = np.zeros((2 * n_nodes, 3))
+    B[0::2, 0] = 1.0      # x-translation -> ux dofs
+    B[1::2, 1] = 1.0      # y-translation -> uy dofs
+    B[0::2, 2] = -y       # rotation
+    B[1::2, 2] = x
+    clamped = np.zeros(2 * n_nodes, dtype=bool)
+    left_nodes = np.arange(nny) * nnx
+    clamped[2 * left_nodes] = True
+    clamped[2 * left_nodes + 1] = True
+    return B[~clamped]
+
+
 def elasticity2d(nx: int, ny: int | None = None, E: float = 1e5,
                  nu: float = 0.3, dtype=np.float64) -> sp.csr_matrix:
     """Assemble plane-stress elasticity on an nx-by-ny element grid, with the

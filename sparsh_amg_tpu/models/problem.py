@@ -9,7 +9,7 @@ import scipy.sparse as sp
 
 from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
-from .elasticity import elasticity2d
+from .elasticity import elasticity2d, elasticity2d_nullspace
 
 
 @dataclasses.dataclass
@@ -18,6 +18,9 @@ class Problem:
     A: sp.csr_matrix
     b: np.ndarray
     meta: dict
+    nullspace: np.ndarray | None = None   # near-nullspace basis (n, k) for
+                                          # aggregation coarsening (rigid-
+                                          # body modes for elasticity)
 
     @property
     def n(self) -> int:
@@ -56,6 +59,8 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         nx = int(round(((n or 500_000) / 2) ** 0.5))
         A = elasticity2d(nx, **kw)
         meta = {"nx": nx}
+        return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta,
+                       nullspace=elasticity2d_nullspace(nx))
     elif name == "convection":
         from .convection import convection2d
         nx = int(round((n or 1_000_000) ** 0.5))

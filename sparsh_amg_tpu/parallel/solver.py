@@ -47,7 +47,8 @@ class DistAMGSolver:
     def __init__(self, A: sp.csr_matrix, mesh: Mesh | None = None,
                  params: AMGParams | None = None,
                  krylov: KrylovParams | None = None,
-                 hierarchy: Hierarchy | None = None):
+                 hierarchy: Hierarchy | None = None,
+                 nullspace=None):
         self.params = params or (hierarchy.params if hierarchy else None) \
             or AMGParams()
         self.krylov = krylov or KrylovParams()
@@ -61,8 +62,11 @@ class DistAMGSolver:
         if hierarchy is None:
             from ..setup.reorder import maybe_reorder
             A, self.perm = maybe_reorder(A, self.params.reorder)
+            if nullspace is not None and self.perm is not None:
+                nullspace = np.asarray(nullspace)[self.perm]
         self.A_host = A
-        self.hierarchy: Hierarchy = hierarchy or amg_setup(A, self.params)
+        self.hierarchy: Hierarchy = hierarchy or amg_setup(
+            A, self.params, nullspace=nullspace)
         self.dist: DistHierarchy = to_dist(self.hierarchy, self.nd,
                                            self.params, axis=self.axis)
         self.part = self.dist.parts[0]

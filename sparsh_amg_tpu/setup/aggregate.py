@@ -60,6 +60,53 @@ def tentative_prolongator(agg: np.ndarray, n_agg: int) -> sp.csr_matrix:
         shape=(n, n_agg))
 
 
+def tentative_prolongator_nullspace(
+        agg: np.ndarray, n_agg: int,
+        B: np.ndarray) -> tuple[sp.csr_matrix, np.ndarray]:
+    """Tentative P from a near-nullspace basis (Vanek/Mandel/Brezina SA).
+
+    B is (n, k) — e.g. the three 2-D rigid-body modes for elasticity.
+    Per aggregate the rows of B are QR-factorized: the orthonormal Q block
+    becomes P's column block for that aggregate, and R becomes the coarse
+    near-nullspace (so the hierarchy reproduces B exactly: P @ B_c = B).
+    Returns (P of shape (n, n_agg*k), B_coarse of shape (n_agg*k, k)).
+
+    Batched over aggregates: rows are packed into an (n_agg, m_max, k)
+    table and factorized with one vectorized np.linalg.qr call.
+    """
+    n, k = B.shape
+    counts = np.bincount(agg, minlength=n_agg)
+    m_max = max(int(counts.max()), 1)
+    order = np.argsort(agg, kind="stable")
+    slot = np.arange(n, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts[:-1])]), counts)
+    table = np.zeros((n_agg, m_max, k))
+    table[agg[order], slot, :] = B[order]
+    Q, R = np.linalg.qr(table)                # (n_agg, m_max, k), (n_agg, k, k)
+    # rank guard: aggregates smaller than k produce ~0 diagonals in R;
+    # zero those columns of Q (and rows of R) so no noise basis enters P
+    rdiag = np.abs(np.einsum("aii->ai", R))
+    scale = np.abs(B).max() + 1e-300
+    bad = rdiag <= 1e-10 * scale              # (n_agg, k)
+    Q = np.where(bad[:, None, :], 0.0, Q)
+    R = np.where(bad[:, :, None], 0.0, R)
+    rows = order                               # table row (agg,slot) -> point
+    cols = (agg[order][:, None] * k + np.arange(k)[None, :]).ravel()
+    vals = Q[agg[order], slot, :].ravel()
+    P = sp.csr_matrix(
+        (vals, (np.repeat(rows, k), cols)), shape=(n, n_agg * k))
+    P.eliminate_zeros()
+    B_c = R.reshape(n_agg * k, k)
+    # rank-deficient aggregates left all-zero columns; drop those coarse
+    # dofs entirely (a zero P column would make the Galerkin operator
+    # singular)
+    keep = ~bad.ravel()
+    if not keep.all():
+        P = P[:, keep].tocsr()
+        B_c = B_c[keep]
+    return P, B_c
+
+
 def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
                        omega: float = 2.0 / 3.0,
                        strong_mask: np.ndarray | None = None) -> sp.csr_matrix:

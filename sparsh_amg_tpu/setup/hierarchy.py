@@ -19,7 +19,7 @@ from .splitting import rs_splitting, pmis_splitting
 from .interp import (direct_interpolation, extpi_interpolation,
                      truncate_rows)
 from .aggregate import (greedy_aggregation, tentative_prolongator,
-                        smooth_prolongator)
+                        tentative_prolongator_nullspace, smooth_prolongator)
 from .galerkin import galerkin_product, spgemm
 
 
@@ -66,8 +66,9 @@ class Hierarchy:
                 + "\n".join(rows))
 
 
-def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
-    """One setup step: returns (P, cf, agg) or None if coarsening stalls."""
+def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
+                  B: np.ndarray | None = None):
+    """One setup step: returns (P, cf, agg, B_coarse) or None on stall."""
     if params.coarsening in ("rs", "pmis", "hmis"):
         strong_mask, S = classical_strength(A, params.theta)
         if params.coarsening == "rs":
@@ -87,32 +88,49 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams):
         else:
             P = direct_interpolation(A, strong_mask, cf)
         P = truncate_rows(P, params.interp_max)
-        return P, cf, None
+        return P, cf, None, None
     elif params.coarsening == "aggregation":
         strong_mask, S = symmetric_strength(A, params.agg_theta)
         agg, n_agg = greedy_aggregation(S)
         if n_agg == 0 or n_agg >= A.shape[0]:
             return None
-        P = tentative_prolongator(agg, n_agg)
+        B_c = None
+        if B is not None:
+            # near-nullspace SA (rigid-body modes for elasticity):
+            # aggregate-local QR of B becomes P_tent; R becomes coarse B
+            P, B_c = tentative_prolongator_nullspace(agg, n_agg, B)
+        else:
+            P = tentative_prolongator(agg, n_agg)
         if params.interpolation == "smoothed":
             P = smooth_prolongator(A, P, params.jacobi_omega_smooth_P,
                                    strong_mask=strong_mask)
-        return P, None, agg
+        return P, None, agg, B_c
     raise ValueError(f"unknown coarsening {params.coarsening!r}")
 
 
-def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None) -> Hierarchy:
-    """Build the AMG hierarchy for CSR matrix A (host, float64)."""
+def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
+              nullspace: np.ndarray | None = None) -> Hierarchy:
+    """Build the AMG hierarchy for CSR matrix A (host, float64).
+
+    ``nullspace`` is an optional (n, k) near-nullspace basis for
+    aggregation coarsening (e.g. rigid-body modes for elasticity); it is
+    carried down the hierarchy via the aggregate-local QR coarse basis.
+    """
     params = params or AMGParams()
     A = A.tocsr().astype(np.float64)
     A.sum_duplicates()
     levels = [Level(A=A)]
+    B = None
+    if nullspace is not None:
+        B = np.ascontiguousarray(nullspace, dtype=np.float64)
+        if B.ndim == 1:
+            B = B[:, None]
     while (levels[-1].n > params.coarse_size
            and len(levels) < params.max_levels):
-        out = _coarsen_once(levels[-1].A, params)
+        out = _coarsen_once(levels[-1].A, params, B)
         if out is None:
             break
-        P, cf, agg = out
+        P, cf, agg, B_c = out
         Ac = galerkin_product(levels[-1].A, P,
                               drop_tol=params.rap_drop_tol)
         # aggressive coarsening: compose a second coarsening round so the
@@ -124,11 +142,12 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None) -> Hierarchy:
                 and Ac.shape[0] > params.coarse_size):
             out2 = _coarsen_once(Ac, params)
             if out2 is not None:
-                P2, _, _ = out2
+                P2, _, _, _ = out2
                 P = spgemm(P, P2)
                 cf = None               # composed split has no single C/F
                 Ac = galerkin_product(Ac, P2,
                                       drop_tol=params.rap_drop_tol)
+        B = B_c
         R = P.T.tocsr()
         levels[-1].P = P
         levels[-1].R = R

@@ -61,7 +61,8 @@ class AMGSolver:
 
     def __init__(self, A: sp.csr_matrix, params: AMGParams | None = None,
                  krylov: KrylovParams | None = None,
-                 hierarchy: Hierarchy | None = None):
+                 hierarchy: Hierarchy | None = None,
+                 nullspace=None):
         self.params = params or (hierarchy.params if hierarchy else None) \
             or AMGParams()
         self.krylov = krylov or KrylovParams()
@@ -75,10 +76,13 @@ class AMGSolver:
         if hierarchy is None:
             from ..setup.reorder import maybe_reorder
             A, self.perm = maybe_reorder(A, self.params.reorder)
+            if nullspace is not None and self.perm is not None:
+                nullspace = np.asarray(nullspace)[self.perm]
         self.A_host = A
         # `hierarchy` lets a saved setup (utils.serialize) be reused across
         # solver instances — the reference rebuilds per run (SURVEY §5.4)
-        self.hierarchy: Hierarchy = hierarchy or amg_setup(A, self.params)
+        self.hierarchy: Hierarchy = hierarchy or amg_setup(
+            A, self.params, nullspace=nullspace)
         self.device: DeviceHierarchy = to_device(self.hierarchy, self.params)
         self.n_pad = self.device.levels[0].n_pad
         # df64 fine-level operator for refinement residuals

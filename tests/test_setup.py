@@ -257,3 +257,22 @@ def test_pmis_extpi_hierarchy_quality():
     assert aggr.operator_complexity() < 0.65 * base.operator_complexity()
     assert aggr.operator_complexity() < 1.5
     assert aggr.n_levels < base.n_levels
+
+
+def test_nullspace_tentative_prolongator_reproduces_B():
+    """SA with a near-nullspace basis: P_tent @ B_coarse == B exactly
+    (the defining property of the aggregate-local QR construction)."""
+    from sparsh_amg_tpu.models.elasticity import (elasticity2d,
+                                                  elasticity2d_nullspace)
+    from sparsh_amg_tpu.setup.aggregate import (
+        greedy_aggregation, tentative_prolongator_nullspace)
+    A = elasticity2d(10)
+    B = elasticity2d_nullspace(10)
+    _, S = stg.symmetric_strength(A, 0.08)
+    agg, n_agg = greedy_aggregation(S)
+    P, B_c = tentative_prolongator_nullspace(agg, n_agg, B)
+    assert P.shape[1] == B_c.shape[0]
+    np.testing.assert_allclose(P @ B_c, B, atol=1e-12)
+    # no zero columns survive (they would make Galerkin singular)
+    col_nnz = np.diff(P.tocsc().indptr)
+    assert col_nnz.min() > 0

@@ -153,3 +153,22 @@ def test_pmis_extpi_aggressive_grid_independent():
         iters.append(r.iterations)
     assert max(iters) <= 18
     assert max(iters) - min(iters) <= 4
+
+
+def test_elasticity_rigid_body_modes_grid_independent():
+    """SA with rigid-body near-nullspace modes bounds elasticity iteration
+    counts (without modes: 44 -> 112 growing over the same sizes)."""
+    from sparsh_amg_tpu.models.elasticity import (elasticity2d,
+                                                  elasticity2d_nullspace)
+    params = AMGParams(coarsening="aggregation", interpolation="smoothed",
+                       smoother="chebyshev", coarse_size=200)
+    iters = []
+    for m in (24, 48):
+        A = elasticity2d(m)
+        b = np.random.default_rng(17).standard_normal(A.shape[0])
+        s = AMGSolver(A, params, KrylovParams(maxiter=300),
+                      nullspace=elasticity2d_nullspace(m))
+        r = s.solve(b)
+        assert r.converged
+        iters.append(r.iterations)
+    assert max(iters) <= 26
