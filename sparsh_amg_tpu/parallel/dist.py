@@ -219,6 +219,53 @@ def dist_spmv(A, x_loc):
 
 
 # ---------------------------------------------------------------------------
+# Replication-boundary wrappers (level-wise agglomeration, SURVEY.md C24:
+# "gather small coarse grids onto fewer processors").  Levels below
+# params.replicate_size are stored REPLICATED — every shard holds the full
+# operator and runs smoothing/transfers locally with zero collectives.
+# These two wrappers implement the single distributed<->replicated crossing.
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["op"], meta_fields=["axis"])
+@dataclasses.dataclass(frozen=True)
+class GatherOut:
+    """Restriction across the replication boundary: distributed input,
+    replicated output — the wrapped dist->dist product followed by ONE
+    all_gather (the only collective the replicated region ever costs)."""
+    op: object                # DistEll | DistDense (fine-dist -> coarse-dist)
+    axis: str
+
+    def local(self):
+        return dataclasses.replace(self, op=self.op.local())
+
+    def spmv(self, x_loc: jax.Array) -> jax.Array:
+        return jax.lax.all_gather(self.op.spmv(x_loc), self.axis,
+                                  tiled=True)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["op"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class ReplSrc:
+    """Prolongation across the replication boundary: replicated input,
+    distributed output.  The wrapped operator indexes the blocked-global
+    source (gather-mode layout), but the input is already full on every
+    shard, so NO collective is issued."""
+    op: object                # DistEll(mode="gather") | DistDense
+
+    def local(self):
+        return dataclasses.replace(self, op=self.op.local())
+
+    def spmv(self, x_full: jax.Array) -> jax.Array:
+        if isinstance(self.op, DistDense):
+            return jnp.dot(self.op.mat, x_full,
+                           preferred_element_type=x_full.dtype)
+        from ..ops.formats import _ell_spmv
+        return _ell_spmv(self.op.cols, self.op.vals, x_full, self.op.n_loc)
+
+
+# ---------------------------------------------------------------------------
 # Host-side construction
 # ---------------------------------------------------------------------------
 

@@ -25,9 +25,9 @@ import scipy.sparse as sp
 from ..params import AMGParams
 from ..ops import df64
 from ..setup.hierarchy import Hierarchy
-from ..solve.device import _lambda_max_dinv_a
+from ..solve.device import _lambda_max_dinv_a, dense_inverse, DeviceLevel
 from .partition import Partition
-from .dist import DistDia, DistEll, csr_to_dist
+from .dist import DistDia, DistEll, csr_to_dist, GatherOut, ReplSrc
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -131,19 +131,111 @@ def _stack_vec(part: Partition, v: np.ndarray, dtype) -> jnp.ndarray:
     return jnp.asarray(part.pad_vec(v), dtype=dtype)
 
 
+def _stack_full(arr, nd: int, dtype=None):
+    """Replicate a host array across the stacked leading shard axis."""
+    a = np.broadcast_to(np.asarray(arr), (nd,) + np.shape(arr))
+    return jnp.asarray(np.ascontiguousarray(a), dtype=dtype)
+
+
+def _replicated_level(lev, part: Partition, next_part: Partition | None,
+                      params: AMGParams, dtype, bdtype, nd: int,
+                      is_coarsest: bool) -> DeviceLevel:
+    """Build a level in REPLICATED form: a serial DeviceLevel whose arrays
+    carry a stacked leading nd axis (identical copies, one per shard).
+    Inside shard_map its smoothers/transfers run with zero collectives —
+    the TPU-native form of the reference's 'gather small coarse grids onto
+    fewer processors' (C24).  Vector length == part.n_pad so the
+    GatherOut all_gather at the boundary lines up exactly."""
+    from ..ops.formats import csr_to_device, csr_to_ell, DenseMatrix
+    import jax.tree as jtree
+    A = lev.A
+    n = A.shape[0]
+    L_pad = part.n_pad
+    dev_A = csr_to_device(A, dtype=bdtype, prefer_dia=params.prefer_dia,
+                          dia_max_bands=params.dia_max_bands,
+                          dense_size=params.dense_size, pad_multiple=L_pad)
+    d = A.diagonal()
+    dinv = np.zeros(L_pad)
+    dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
+    absrow = np.asarray(np.abs(A).sum(axis=1)).ravel()
+    l1d = d + (absrow - np.abs(d))
+    l1_dinv = np.zeros(L_pad)
+    l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
+    lam = _lambda_max_dinv_a(A) if not is_coarsest or n > 1 else 1.0
+
+    P = R = coarse_inv = None
+    if not is_coarsest:
+        nc = lev.P.shape[1]
+        M_pad = next_part.n_pad
+        if max(n, nc) <= params.dense_size:
+            # dense blocks need row/col pads matching both levels' lengths
+            Pm = np.zeros((L_pad, M_pad), dtype=np.float32)
+            Pm[:n, :nc] = lev.P.astype(np.float32).toarray()
+            Rm = np.zeros((M_pad, L_pad), dtype=np.float32)
+            Rm[:nc, :n] = lev.R.astype(np.float32).toarray()
+            P = DenseMatrix(mat=jnp.asarray(Pm, dtype=bdtype),
+                            n_rows=n, n_cols=nc)
+            R = DenseMatrix(mat=jnp.asarray(Rm, dtype=bdtype),
+                            n_rows=nc, n_cols=n)
+        else:
+            P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=L_pad)
+            R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=M_pad)
+    elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
+        dense = np.zeros((L_pad, L_pad), dtype=np.float32)
+        dense[:n, :n] = dense_inverse(A, params.coarse_solver)
+        coarse_inv = jnp.asarray(dense, dtype=dtype)
+
+    Lt = Ut = None
+    if params.smoother == "gs2" and coarse_inv is None:
+        conv = lambda T: csr_to_device(
+            T.tocsr(), dtype=bdtype, prefer_dia=params.prefer_dia,
+            dia_max_bands=params.dia_max_bands,
+            dense_size=params.dense_size, pad_multiple=L_pad)
+        Lt = conv(sp.tril(A, -1))
+        Ut = conv(sp.triu(A, 1))
+
+    serial = DeviceLevel(
+        A=dev_A,
+        dinv=jnp.asarray(dinv, dtype=dtype),
+        l1_dinv=jnp.asarray(l1_dinv, dtype=dtype),
+        lam_max=jnp.asarray(lam, dtype=dtype),
+        P=P, R=R, coarse_inv=coarse_inv, L=Lt, U=Ut, n=n,
+        coarse_sweeps=params.coarse_smooth_sweeps)
+    # stack every leaf with a leading nd axis (device_put shards it into
+    # one identical copy per device)
+    return jtree.map(lambda a: _stack_full(a, nd, dtype=a.dtype), serial)
+
+
 def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
             dtype=None, axis: str = "rows") -> DistHierarchy:
-    """Freeze a host hierarchy into the distributed stacked layout."""
+    """Freeze a host hierarchy into the distributed stacked layout.
+
+    Levels with n <= params.replicate_size (never the finest) are stored
+    replicated (see _replicated_level); the level above them carries the
+    boundary-crossing transfer wrappers GatherOut / ReplSrc.
+    """
     params = params or hier.params
     dtype = dtype or jnp.dtype(params.dtype)
     bdtype = jnp.dtype(params.band_dtype)
     parts = [Partition.make(lev.A.shape[0], nd) for lev in hier.levels]
+    n_lv = len(hier.levels)
+    rep_from = n_lv
+    if params.replicate_size > 0:
+        for i in range(1, n_lv):
+            if hier.levels[i].A.shape[0] <= params.replicate_size:
+                rep_from = i
+                break
     levels = []
     for li, lev in enumerate(hier.levels):
         A = lev.A
         n = A.shape[0]
         part = parts[li]
-        is_coarsest = li == len(hier.levels) - 1 or lev.P is None
+        is_coarsest = li == n_lv - 1 or lev.P is None
+        if li >= rep_from:
+            levels.append(_replicated_level(
+                lev, part, parts[li + 1] if not is_coarsest else None,
+                params, dtype, bdtype, nd, is_coarsest))
+            continue
         dev_A = csr_to_dist(A, part, part, dtype=bdtype, axis=axis,
                             prefer_dia=params.prefer_dia,
                             dia_max_bands=params.dia_max_bands,
@@ -162,12 +254,23 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
             nc = lev.P.shape[1]
             pr_dense = params.dense_size if max(n, nc) <= params.dense_size \
                 else 0
-            P = csr_to_dist(lev.P, part, cpart, dtype=bdtype, axis=axis,
-                            prefer_dia=False, dense_size=pr_dense)
-            R = csr_to_dist(lev.R, cpart, part, dtype=bdtype, axis=axis,
-                            prefer_dia=False, dense_size=pr_dense)
+            if li + 1 >= rep_from:
+                # replication boundary: R all_gathers its distributed
+                # product; P consumes the already-full coarse vector
+                # (gather-mode column indexing, no collective)
+                R = GatherOut(op=csr_to_dist(
+                    lev.R, cpart, part, dtype=bdtype, axis=axis,
+                    prefer_dia=False, dense_size=pr_dense), axis=axis)
+                P = ReplSrc(op=csr_to_dist(
+                    lev.P, part, cpart, dtype=bdtype, axis=axis,
+                    prefer_dia=False, dense_size=pr_dense,
+                    max_halo_frac=-1.0))   # force gather-mode indexing
+            else:
+                P = csr_to_dist(lev.P, part, cpart, dtype=bdtype, axis=axis,
+                                prefer_dia=False, dense_size=pr_dense)
+                R = csr_to_dist(lev.R, cpart, part, dtype=bdtype, axis=axis,
+                                prefer_dia=False, dense_size=pr_dense)
         elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
-            from ..solve.device import dense_inverse
             ncp = part.n_pad
             dense = np.zeros((ncp, ncp), dtype=np.float32)
             dense[:n, :n] = dense_inverse(A, params.coarse_solver)

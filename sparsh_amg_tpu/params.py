@@ -103,6 +103,13 @@ class AMGParams:
     dense_size: int = 2048             # densify levels at/below this n
                                        # (coarse AMG operators lose sparsity;
                                        # MXU matvec wins and compiles O(1))
+    replicate_size: int = 4096         # distributed solves: levels at/below
+                                       # this n are REPLICATED on every
+                                       # shard — smoothing and transfers run
+                                       # shard-locally with zero collectives
+                                       # (level-wise agglomeration, C24);
+                                       # the crossing costs one all_gather
+                                       # per cycle.  0 disables.
 
     def replace(self, **kw) -> "AMGParams":
         return dataclasses.replace(self, **kw)
