@@ -47,6 +47,11 @@ def main():
 
     results = []
 
+    def emit(r):
+        results.append(r)
+        print(json.dumps(r), flush=True)   # incremental: keep partials on
+                                           # a mid-suite failure
+
     def run_suite(tag):
         import jax
         import jax.numpy as jnp
@@ -80,8 +85,7 @@ def main():
             y = bw_fn(y)
         float(jnp.sum(y))
         bw = 2 * nv * 4 * 20 / (time.perf_counter() - t0)
-        results.append({"kernel": "copy_bw", "mode": tag,
-                        "GBs": bw / 1e9})
+        emit({"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9})
 
         def bytes_of(op):
             # HBM traffic of one SpMV: matrix data + x read + y write
@@ -105,18 +109,22 @@ def main():
                              dtype=jnp.float32)
 
             @jax.jit
-            def chain(x, op=op):
+            def chain_op(o, x):
                 # trace-time unrolled: ONE dispatch for all reps (device
                 # loop bodies re-dispatch per-op through the relay —
-                # CLAUDE.md tunnel rules)
+                # CLAUDE.md tunnel rules).  The operator is a pytree ARG,
+                # not a closure constant, so its arrays are uploaded once
+                # as buffers instead of being inlined into the HLO (the
+                # relay rejects >100 MB compile payloads).
                 for _ in range(reps):
-                    x = op.spmv(x) * (1.0 / 7.0)
+                    x = o.spmv(x) * (1.0 / 7.0)
                 return x
 
+            chain = lambda x, op=op: chain_op(op, x)
             chain(x0).block_until_ready()          # compile
             dt = measure(chain, x0) / reps
             b = bytes_of(op)
-            results.append({
+            emit({
                 "kernel": f"spmv_l{li}", "mode": tag, "layout": layout,
                 "n": hier.levels[li].n, "n_pad": op.n_pad, "nnz": int(nnz),
                 "per_op_ms": dt * 1e3,
@@ -130,19 +138,20 @@ def main():
         n_pad0 = dev.levels[0].n_pad
         x0 = jnp.asarray(rng.standard_normal(n_pad0), dtype=jnp.float32)
 
-        n_cyc = max(reps // 5, 1)
+        n_cyc = max(reps // 10, 1)
 
         @jax.jit
-        def cyc_chain(b):
+        def cyc_levels(levels, b):
             for _ in range(n_cyc):       # trace-time unrolled (see above)
-                w = cycle(dev.levels, b)
+                w = cycle(levels, b)
                 b = w / (jnp.max(jnp.abs(w)) + 1e-30)
             return b
 
+        cyc_chain = lambda b: cyc_levels(dev.levels, b)
         cyc_chain(x0).block_until_ready()
         dt = measure(cyc_chain, x0) / n_cyc
         fine_nnz = hier.levels[0].nnz
-        results.append({
+        emit({
             "kernel": "vcycle", "mode": tag,
             "n": hier.levels[0].n, "levels": dev.n_levels,
             "per_op_ms": dt * 1e3,
@@ -155,8 +164,6 @@ def main():
         tag = "pallas" if p else "xla"
         run_suite(tag)
 
-    for r in results:
-        print(json.dumps(r))
 
 
 if __name__ == "__main__":
