@@ -239,12 +239,13 @@ def csr_to_dense(A: sp.csr_matrix, dtype=jnp.float32,
 
 def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
                   dia_max_bands: int = 32, pad_multiple: int = 128,
-                  dense_size: int = 0):
+                  dense_size: int = 0, prefer_gell: bool = False):
     """Pick the best device layout for a host CSR matrix.
 
     Dense matvec below `dense_size` rows; DIA when the matrix is square,
     stencil-structured (few distinct diagonals) and dense-enough within
-    them; ELL otherwise.
+    them; gathered-ELL (Pallas window-gather kernel, ops/gell.py) when
+    requested and the matrix packs; classical ELL otherwise.
     """
     n, m = A.shape
     if dense_size and n <= dense_size and m <= dense_size:
@@ -258,6 +259,12 @@ def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
             if len(uoffs) * n <= 4 * A.nnz:
                 return csr_to_dia(A, dtype, pad_multiple,
                                   _pre=(rows, offs, uoffs))
+    if prefer_gell:
+        from .gell import csr_to_gell, gell_eligible
+        if gell_eligible():
+            G = csr_to_gell(A, dtype=dtype)
+            if G is not None:
+                return G
     return csr_to_ell(A, dtype, pad_multiple)
 
 

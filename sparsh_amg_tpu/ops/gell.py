@@ -1,0 +1,379 @@
+"""Gathered-ELL ("GELL"): the TPU-native layout + Pallas kernel for
+irregular sparse matvecs — coarse-level operators, prolongation and
+restriction (SURVEY.md §2 C4/C5/C6: the reference's cuSPARSE csrmv; north
+star "Pallas SpMV/SpMM kernels", BASELINE.json:5).
+
+Why: XLA's gather on TPU sustains only ~100M gathered elements/s (measured
+on hardware, KBENCH_r2_96.jsonl) — it is the solve-phase bottleneck once
+the fine level runs on the DIA Pallas kernel.  Mosaic's legal shuffle set
+(probed on hardware 2026-08-17) is: `take_along_axis(axis=1)` lane gather
+for any sublane count, sublane broadcasts/selects, and dynamic sublane
+slices — no general 2-D or flat gather.  This module builds an SpMV from
+exactly those primitives; measured on hardware (96^3 hierarchy,
+KBENCH_r2_gell96.txt): A1 14x (0.95 ms vs 13.4), P0 37x (2.35 ms vs
+87.8), R0 24x (11.6 ms vs 281) over the XLA gather.
+
+Layout ("stream" form).  The K-padded nonzeros of each row are flattened
+row-major into a stream of positions p = row*K + k, tiled (TR, 128).  Each
+tile's source entries are covered by at most S "windows" of 1024
+consecutive x entries (8 sublane rows x 128 lanes, 1024-aligned).  Per
+tile the packer emits:
+
+* wwords (n_tiles, W) int32 — the tile's window bases, two 16-bit values
+  per word (32-bit raw when the source exceeds 2^16 windows = 67M
+  entries).  Scalar-prefetched (SMEM, hard ~48 KB budget on this chip —
+  measured: 39 KB compiles, 59 KB kills the Mosaic compiler); consumed by
+  the x BlockSpec index maps, so the pipeline itself delivers the right
+  (8,128) x slabs — no in-kernel DMA (manual async-copy faults this TPU
+  stack, CLAUDE.md).
+* counts (n_tiles,) int32 — how many windows the tile actually uses; the
+  kernel skips the rest of its S passes via pl.when (restriction tiles
+  average ~2/3 of the max).
+* packed (n_tiles, TR, 128) int32 — sel<<10 | q<<7 | lane: which window,
+  which sublane row inside it, which lane.
+* vals   (n_tiles, TR, 128) band dtype.
+
+Kernel per tile, per live window s: lane-gather each of the window's 8
+rows at the positions' lanes, fold with 7 selects on q, mask on sel, FMA.
+(Gather must precede the q-select: selecting rows first then gathering
+lanes composes as x[q[r, ln], ln] — the row choice must be evaluated at
+the OUTPUT lane.)  The row reduction y[i] = sum_k stream[i*K+k] is left
+to XLA — a reshape + sum that fuses with whatever elementwise tail
+follows (smoother updates etc.).
+
+The stream slope trick: positions advance K per row, so the gather source
+advances ~(n_cols/n_rows)/K of the output rate.  Restriction (source =
+the FINE vector, slope ~ coarsening ratio ~27 in 3-D) stays
+window-coherent precisely because K_R ~ ratio*interp_degree >= the slope;
+this is what lets one kernel serve A, P and R.  (A slot-major layout like
+classical ELL-T has slope K x larger and dies on restriction.)
+
+TR (tile height) adapts per matrix: the smallest of {16,32,64,128} whose
+window table fits the SMEM budget; if even TR=128 is over, the call is
+split into equal-tile chunks (identical shapes + index maps, so all
+chunks share one executable).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+LANE = 128
+WIN = 8 * LANE             # 1024 x entries per window
+# scalar-prefetch SMEM budget (bytes): measured on v5e-behind-relay that
+# 39 KB compiles and 59 KB crashes the Mosaic compile helper
+SMEM_BUDGET = int(os.environ.get("SPARSH_GELL_SMEM", 36 * 1024))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def gell_eligible() -> bool:
+    """Should setup CHOOSE the GELL layout?  On TPU yes (the Pallas
+    window-gather kernel is ~10x the XLA gather); elsewhere only when
+    forced (tests) — the XLA fallback is correct everywhere but the
+    classical one-shot ELL gather is marginally leaner on CPU."""
+    if os.environ.get("SPARSH_NO_GELL"):
+        return False
+    if os.environ.get("SPARSH_FORCE_GELL"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def use_pallas_gell() -> bool:
+    """Pallas dispatch gate (env-overridable; the blanket SPARSH_NO_PALLAS
+    also disables it)."""
+    if os.environ.get("SPARSH_NO_PALLAS") or \
+            os.environ.get("SPARSH_NO_PALLAS_GELL"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["wwords", "counts", "packed", "vals"],
+         meta_fields=["n_rows", "n_cols", "k", "s", "tr", "wmode",
+                      "src_pad"])
+@dataclasses.dataclass(frozen=True)
+class GellMatrix:
+    wwords: jax.Array         # (n_tiles, W) int32: window bases, packed
+    counts: jax.Array         # (n_tiles,) int32: live windows per tile
+    packed: jax.Array         # (n_tiles, TR, LANE) int32
+    vals: jax.Array           # (n_tiles, TR, LANE) band dtype
+    n_rows: int
+    n_cols: int
+    k: int                    # padded nnz per row
+    s: int                    # max windows per tile
+    tr: int                   # tile height (sublane rows)
+    wmode: int                # 16: two window bases per word; 32: raw
+    src_pad: int              # required padded x length (mult of 1024)
+
+    @property
+    def n_pad(self) -> int:
+        return (self.packed.shape[0] * self.tr * LANE) // self.k
+
+    @property
+    def n_tiles(self) -> int:
+        return self.packed.shape[0]
+
+    def window(self, t, s):
+        """Decode window base s of tile t from the packed words (host)."""
+        w = np.asarray(self.wwords)
+        if self.wmode == 32:
+            return int(w[t, s])
+        return (int(w[t, s // 2]) >> (16 * (s % 2))) & 0xFFFF
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """y = A @ x; x length >= src_pad (zero-padded), y length n_pad."""
+        if x.shape[0] < self.src_pad:
+            x = jnp.pad(x, (0, self.src_pad - x.shape[0]))
+        if use_pallas_gell():
+            stream = _gather_pallas_chunked(self, x)
+        else:
+            stream = _gell_gather_xla(self, x)
+        # row reduction: stream is row-major, so positions of row i are
+        # contiguous — a reshape + sum that XLA fuses with downstream ops
+        return stream.reshape(self.n_pad, self.k).sum(
+            axis=1, dtype=jnp.float32)
+
+
+def _decode_windows_jnp(wwords, S: int, wmode: int):
+    """(n_tiles, W) packed words -> (n_tiles, S) int32 absolute bases."""
+    if wmode == 32:
+        return wwords[:, :S]
+    s = jnp.arange(S)
+    words = wwords[:, s // 2]                       # (n_tiles, S)
+    return (words >> (16 * (s % 2))) & 0xFFFF
+
+
+def _gell_gather_xla(G: GellMatrix, x):
+    """Oracle / non-TPU fallback: reconstruct absolute indices, one flat
+    gather.  Same one-shot shape as the classical ELL path."""
+    packed = G.packed
+    sel = packed >> 10
+    sub = (packed >> 7) & 7
+    ln = packed & 127
+    windows = _decode_windows_jnp(G.wwords, G.s, G.wmode)
+    base = jnp.take_along_axis(
+        windows[:, :, None], sel.reshape(sel.shape[0], 1, -1), axis=1
+    ).reshape(sel.shape)
+    idx = base * WIN + sub * LANE + ln
+    g = x.at[idx.reshape(-1)].get(mode="promise_in_bounds")
+    return (G.vals.reshape(-1).astype(jnp.float32) * g).reshape(-1)
+
+
+def _gather_pallas_chunked(G: GellMatrix, x):
+    """Split the stream into equal-tile chunks so each call's prefetched
+    window table fits SMEM; all full chunks share one executable."""
+    per_tile = 4 * (G.wwords.shape[1] + 1)
+    max_tiles = max(SMEM_BUDGET // per_tile, 1)
+    n = G.n_tiles
+    if n <= max_tiles:
+        return gell_gather_pallas(G.wwords, G.counts, G.packed, G.vals, x,
+                                  s=G.s, tr=G.tr, wmode=G.wmode)
+    n_chunks = -(-n // max_tiles)
+    chunk = -(-n // n_chunks)
+    outs = []
+    for c in range(0, n, chunk):
+        e = min(c + chunk, n)
+        outs.append(gell_gather_pallas(
+            G.wwords[c:e], G.counts[c:e], G.packed[c:e], G.vals[c:e], x,
+            s=G.s, tr=G.tr, wmode=G.wmode))
+    return jnp.concatenate(outs)
+
+
+@partial(jax.jit, static_argnames=("s", "tr", "wmode", "interpret"))
+def gell_gather_pallas(wwords, counts, packed, vals, x, *, s: int, tr: int,
+                       wmode: int, interpret: bool = False):
+    """The window-gather kernel: stream[p] = vals[p] * x[source(p)].
+
+    x slabs are delivered by the Pallas pipeline itself: one (8, 128)
+    BlockSpec per window slot, its index map decoding the scalar-prefetched
+    window table (pltpu.PrefetchScalarGridSpec) — the legal TPU way to
+    express a data-dependent gather schedule without manual DMA."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, TR = s, tr
+    n_tiles = packed.shape[0]
+    x2 = x.reshape(-1, LANE)
+
+    def kern(w_ref, c_ref, *refs):
+        x_refs = refs[:S]
+        p_ref, v_ref, o_ref = refs[S], refs[S + 1], refs[S + 2]
+        t = pl.program_id(0)
+        pk = p_ref[0]
+        sel = jax.lax.shift_right_logical(pk, 10)
+        q = jax.lax.bitwise_and(jax.lax.shift_right_logical(pk, 7), 7)
+        ln = jax.lax.bitwise_and(pk, 127)
+        v = v_ref[0].astype(jnp.float32)
+
+        def contrib(si):
+            xw = x_refs[si]
+            # gather FIRST, select by q second: the row choice must be
+            # evaluated at the OUTPUT lane (select-then-gather composes
+            # as x[q[r, ln], ln] — wrong row wherever q differs at ln)
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(xw[0:1, :], (TR, LANE)), ln, axis=1)
+            for m in range(1, 8):
+                gm = jnp.take_along_axis(
+                    jnp.broadcast_to(xw[m:m + 1, :], (TR, LANE)), ln,
+                    axis=1)
+                g = jnp.where(q == m, gm, g)
+            return jnp.where(sel == si, v * g, 0.0)
+
+        o_ref[0] = contrib(0)          # every tile has >= 1 window
+        for si in range(1, S):
+            @pl.when(si < c_ref[t])
+            def _():
+                o_ref[0] = o_ref[0] + contrib(si)
+
+    def x_spec(si):
+        if wmode == 32:
+            return pl.BlockSpec((8, LANE),
+                                lambda t, w_ref, c_ref, _s=si:
+                                (w_ref[t, _s], 0))
+        return pl.BlockSpec(
+            (8, LANE),
+            lambda t, w_ref, c_ref, _s=si:
+            ((w_ref[t, _s // 2] >> (16 * (_s % 2))) & 0xFFFF, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[x_spec(si) for si in range(S)] + [
+            pl.BlockSpec((1, TR, LANE), lambda t, w_ref, c_ref: (t, 0, 0)),
+            pl.BlockSpec((1, TR, LANE), lambda t, w_ref, c_ref: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TR, LANE),
+                               lambda t, w_ref, c_ref: (t, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TR, LANE), jnp.float32),
+        interpret=interpret,
+    )(wwords, counts, *([x2] * S), packed, vals)
+    return out.reshape(-1)
+
+
+def _tile_windows(src_flat: np.ndarray, n_tiles: int, tile: int):
+    """Per-tile sorted unique window lists.  Returns (windows (n_tiles,S),
+    counts (n_tiles,), sel (n_tiles, tile))."""
+    wb = (src_flat.reshape(n_tiles, tile) // WIN).astype(np.int64)
+    sw = np.sort(wb, axis=1)
+    new = np.ones((n_tiles, tile), dtype=bool)
+    new[:, 1:] = sw[:, 1:] != sw[:, :-1]
+    counts = new.sum(axis=1)
+    S = int(counts.max()) if n_tiles else 1
+    pos = np.cumsum(new, axis=1) - 1
+    windows = np.zeros((n_tiles, S), dtype=np.int64)
+    tidx = np.repeat(np.arange(n_tiles), tile)
+    windows[tidx, pos.reshape(-1)] = sw.reshape(-1)
+    # pad unused slots by repeating the last valid window (keeps the
+    # prefetch index maps in-bounds; contributions are masked by sel)
+    lastw = windows[np.arange(n_tiles), counts - 1]
+    for si in range(S):
+        unused = counts <= si
+        windows[unused, si] = lastw[unused]
+    # sel = index of each position's window within its tile's sorted list
+    big = windows.copy()
+    big[np.arange(S)[None, :] >= counts[:, None]] = np.iinfo(np.int64).max
+    sel = np.zeros((n_tiles, tile), dtype=np.int64)
+    step = max((1 << 24) // max(S, 1) // max(tile, 1), 1)
+    for c in range(0, n_tiles, step):   # chunk the (nt, tile, S) compare
+        e = min(c + step, n_tiles)
+        sel[c:e] = (wb[c:e, :, None] >= big[c:e, None, :]).sum(axis=2) - 1
+    return windows, counts, sel
+
+
+def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 24,
+                k_cap: int | None = None):
+    """Pack a host CSR matrix into the GELL stream layout.
+
+    Picks the smallest tile height TR in {16,32,64,128} whose window
+    table fits the SMEM budget (fewer tiles -> fewer scalars; more
+    windows per tile -> more kernel passes, skipped per-tile via counts).
+    Returns None when a tile would need more than `s_max` windows at
+    TR=16 (too irregular — caller falls back to classical ELL) or when
+    row-degree padding would inflate the stream more than ~4x (k_cap).
+    """
+    A = A.tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    n, m = A.shape
+    deg = np.diff(A.indptr)
+    K = max(int(deg.max()) if n else 0, 1)
+    if k_cap is None:
+        k_cap = max(8, int(4 * max(A.nnz, 1) / max(n, 1)))
+    if K > k_cap:
+        return None
+    src_pad = _round_up(max(m, 1), WIN)
+    wmode = 16 if src_pad // WIN <= (1 << 16) else 32
+
+    # stream tables (n_pad, K): src index + value, rows padded by
+    # repeating the row's first column with val 0 (keeps padding inside
+    # an already-needed window); empty rows point at 0
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+        A.indptr[:-1].astype(np.int64), deg)
+    first = np.zeros(n, dtype=np.int32)
+    nz = deg > 0
+    first[nz] = A.indices[A.indptr[:-1][nz]]
+
+    chosen = None
+    for TR in (16, 32, 64, 128):
+        tile = TR * LANE
+        n_pad = _round_up(max(n, 1), tile)      # stream divides into tiles
+        src = np.zeros((n_pad, K), dtype=np.int32)
+        src[:n] = first[:, None]
+        src[rows, slot] = A.indices             # CSR cols are sorted
+        n_tiles = (n_pad * K) // tile
+        windows, counts, sel = _tile_windows(src.reshape(-1), n_tiles,
+                                             tile)
+        S = windows.shape[1]
+        if TR == 16 and S > s_max:
+            return None
+        per_word = 2 if wmode == 16 else 1
+        W = -(-S // per_word)
+        smem = n_tiles * (W + 1) * 4
+        chosen = (TR, tile, n_pad, n_tiles, windows, counts, sel, S, W,
+                  src)
+        if smem <= SMEM_BUDGET:
+            break       # fits in one pallas_call
+
+    TR, tile, n_pad, n_tiles, windows, counts, sel, S, W, src = chosen
+    val = np.zeros((n_pad, K), dtype=np.float32)
+    val[rows, slot] = A.data
+    sub = ((src.reshape(n_tiles, tile) // LANE) % 8).astype(np.int32)
+    ln = (src.reshape(n_tiles, tile) % LANE).astype(np.int32)
+    packed = (sel.astype(np.int32) << 10) | (sub << 7) | ln
+    if wmode == 16:
+        padded = np.zeros((n_tiles, W * 2), dtype=np.int64)
+        padded[:, :S] = windows
+        if S < W * 2:
+            padded[:, S:] = windows[:, -1:]
+        wwords = (padded[:, 0::2] | (padded[:, 1::2] << 16)).astype(
+            np.uint32).view(np.int32)
+    else:
+        wwords = windows.astype(np.int32)
+    return GellMatrix(
+        wwords=jnp.asarray(wwords, dtype=jnp.int32),
+        counts=jnp.asarray(counts, dtype=jnp.int32),
+        packed=jnp.asarray(packed.reshape(n_tiles, TR, LANE),
+                           dtype=jnp.int32),
+        vals=jnp.asarray(val.reshape(n_tiles, TR, LANE), dtype=dtype),
+        n_rows=n, n_cols=m, k=K, s=S, tr=TR, wmode=wmode,
+        src_pad=src_pad)

@@ -123,7 +123,7 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         dev_A = csr_to_device(A, dtype=bdtype, prefer_dia=params.prefer_dia,
                               dia_max_bands=params.dia_max_bands,
                               dense_size=params.dense_size,
-                              pad_multiple=2048)
+                              pad_multiple=2048, prefer_gell=True)
         n_pad = dev_A.n_pad
         d = A.diagonal()
         dinv = np.zeros(n_pad)
@@ -144,11 +144,20 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                 P = csr_to_dense(lev.P, dtype=bdtype, pad_multiple=2048)
                 R = csr_to_dense(lev.R, dtype=bdtype, pad_multiple=2048)
             else:
-                P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=2048)
-                R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=2048)
-                # csr_to_ell pads rows to a multiple of 128; both levels use
-                # the same multiple so shapes line up with vectors.
-                assert P.n_pad >= n and R.n_cols <= n_pad
+                # transfers are the gather-heaviest ops of the cycle
+                # (fine-row-count work): gathered-ELL when it packs
+                from ..ops.gell import csr_to_gell, gell_eligible
+                P = R = None
+                if gell_eligible():
+                    P = csr_to_gell(lev.P.tocsr(), dtype=bdtype)
+                    R = csr_to_gell(lev.R.tocsr(), dtype=bdtype)
+                if P is None:
+                    P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=2048)
+                if R is None:
+                    R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=2048)
+                # row padding is a multiple of 2048 in both layouts, so
+                # shapes line up with the level vectors.
+                assert P.n_pad >= n and R.n_pad >= nc
         elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
             dense = np.zeros((n_pad, n_pad), dtype=np.float32)
             dense[:n, :n] = dense_inverse(A, params.coarse_solver)

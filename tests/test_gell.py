@@ -1,0 +1,97 @@
+"""Gathered-ELL layout + window-gather kernel oracles (ops/gell.py).
+
+Covers the three operator shapes the kernel serves in the solve phase:
+square coarse operators, prolongation (wide source slope < 1) and
+restriction (source = fine vector, slope ~ coarsening ratio)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from sparsh_amg_tpu.ops.gell import (GellMatrix, csr_to_gell,
+                                     _gell_gather_xla, gell_gather_pallas,
+                                     LANE, WIN)
+from sparsh_amg_tpu.models.poisson import poisson2d, poisson3d
+from sparsh_amg_tpu.params import AMGParams
+from sparsh_amg_tpu.setup.hierarchy import amg_setup
+
+
+def _spmv_oracle(A, G, x=None):
+    rng = np.random.default_rng(0)
+    if x is None:
+        x = rng.standard_normal(A.shape[1])
+    xp = jnp.asarray(np.pad(x, (0, G.src_pad - len(x))), jnp.float32)
+    y = np.asarray(G.spmv(xp))[: A.shape[0]]
+    want = A @ x
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=1e-5)
+
+
+def test_gell_square_poisson2d():
+    A = poisson2d(40)
+    G = csr_to_gell(A)
+    assert G is not None and G.k == 5
+    _spmv_oracle(A, G)
+
+
+def test_gell_reconstructs_indices():
+    """Packed windows/sel/sub/lane must reconstruct the CSR columns."""
+    A = poisson2d(24)
+    G = csr_to_gell(A)
+    tile = G.tr * LANE
+    packed = np.asarray(G.packed).reshape(G.n_tiles, tile)
+    windows = np.array([[G.window(t, s) for s in range(G.s)]
+                        for t in range(G.n_tiles)])
+    sel, sub, ln = packed >> 10, (packed >> 7) & 7, packed & 127
+    base = np.take_along_axis(windows, sel, axis=1)
+    idx = (base * WIN + sub * 128 + ln).reshape(G.n_pad, G.k)
+    vals = np.asarray(G.vals, dtype=np.float64).reshape(G.n_pad, G.k)
+    R = sp.csr_matrix((vals.ravel(),
+                       (np.repeat(np.arange(G.n_pad), G.k), idx.ravel())),
+                      shape=(G.n_pad, max(G.src_pad, A.shape[1])))
+    R.sum_duplicates()
+    diff = abs(R[:A.shape[0], :A.shape[1]] - A)
+    assert diff.max() < 1e-6
+
+
+def test_gell_rectangular_transfers():
+    """P (fine x coarse) and R (coarse x fine) from a real hierarchy."""
+    A = poisson3d(16)
+    hier = amg_setup(A, AMGParams(coarsening="pmis", interpolation="extpi",
+                                  interp_max=4))
+    lev = hier.levels[0]
+    for M in (lev.P.tocsr(), lev.R.tocsr()):
+        G = csr_to_gell(M)
+        assert G is not None, f"packer refused shape {M.shape}"
+        _spmv_oracle(M, G)
+
+
+def test_gell_irregular_random():
+    rng = np.random.default_rng(3)
+    A = sp.random(300, 450, density=0.02, random_state=4, format="csr")
+    G = csr_to_gell(A, s_max=32, k_cap=64)
+    if G is None:
+        pytest.skip("random matrix too irregular for GELL (expected)")
+    _spmv_oracle(A, G)
+
+
+def test_gell_pallas_interpret_matches_xla():
+    A = poisson2d(32)
+    G = csr_to_gell(A)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(G.src_pad), jnp.float32)
+    got = np.asarray(gell_gather_pallas(G.wwords, G.counts, G.packed,
+                                        G.vals, x, s=G.s, tr=G.tr,
+                                        wmode=G.wmode, interpret=True))
+    want = np.asarray(_gell_gather_xla(G, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_gell_empty_and_padded_rows():
+    """Rows with zero nonzeros and degree variance still pack correctly."""
+    A = sp.csr_matrix(
+        (np.array([2.0, 3.0, 4.0]),
+         (np.array([0, 0, 5]), np.array([1, 7, 3]))),
+        shape=(9, 11))
+    G = csr_to_gell(A)
+    _spmv_oracle(A, G)
