@@ -18,10 +18,13 @@ import time
 import numpy as np
 
 # Through the axon relay each kernel launch pays an RPC penalty and Pallas
-# custom calls pay ~4x an XLA fusion's; the XLA path with a device-side
-# while_loop (single dispatch for the whole Krylov solve) measures fastest
-# end-to-end on this link.  On direct-attached TPUs flip these back.
-os.environ.setdefault("SPARSH_NO_PALLAS", "1")
+# custom calls pay ~4x an XLA fusion's.  The DIA fine-level kernel's XLA
+# fallback is already at the measurement floor (KBENCH_r2_96), so Pallas
+# DIA only adds RPC cost here — keep it off on the tunnel.  The GELL
+# window-gather kernels are 14-37x the XLA gather on chip
+# (KBENCH_r2_gell96), far more than the extra RPC, so they stay ON.
+# On direct-attached TPUs enable Pallas DIA too.
+os.environ.setdefault("SPARSH_NO_PALLAS_DIA", "1")
 
 
 def measure_hbm_bw(jnp, jax, nbytes: int = 1 << 28) -> float:

@@ -781,3 +781,193 @@ void spgemm_numeric(int64_t n, int64_t m,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GELL packer (ops/gell.py): per-tile source-window discovery + table fill
+// for the Pallas window-gather SpMV.  The numpy packer is the oracle; this
+// is the same algorithm tile-parallel in one pass over the stream — the
+// numpy version dominates to_device at 192^3 (~32 s for the fine-level P).
+//
+// Stream: row-major K-padded nonzeros tiled `tile` positions; padded row
+// slots repeat the row's LAST column (keeps rows non-decreasing), rows
+// beyond n point at column 0.  A "window" is a 1024-aligned block of the
+// source vector (column >> 10).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// iterate a tile's positions, calling fn(local_pos, col, val_or_0)
+template <typename F>
+inline void gell_tile_scan(int64_t t, int64_t tile, int64_t n, int64_t K,
+                           const int64_t* indptr, const int32_t* indices,
+                           const double* data, F&& fn) {
+  const int64_t p0 = t * tile, p1 = p0 + tile;
+  int64_t r = p0 / K;
+  int64_t p = p0;
+  while (p < p1) {
+    const int64_t k0 = p - r * K;
+    const int64_t kend = std::min<int64_t>(K, p1 - r * K);
+    if (r >= n) {
+      for (int64_t k = k0; k < kend; ++k) fn(p++ - p0, 0, 0.0);
+    } else {
+      const int64_t base = indptr[r];
+      const int64_t deg = indptr[r + 1] - base;
+      const int32_t pad_col = deg > 0 ? indices[base + deg - 1] : 0;
+      for (int64_t k = k0; k < kend; ++k, ++p) {
+        if (k < deg) fn(p - p0, indices[base + k], data ? data[base + k] : 0.0);
+        else fn(p - p0, pad_col, 0.0);
+      }
+    }
+    ++r;
+  }
+}
+
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  x += 0x7fffu + ((x >> 16) & 1u);   // round to nearest even
+  return (uint16_t)(x >> 16);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: max unique windows over any tile (the kernel's S).  Returns -1
+// if some tile exceeds s_cap (caller refuses / escalates).
+int64_t gell_windows(int64_t n, int64_t K, int64_t tile, int64_t n_tiles,
+                     const int64_t* indptr, const int32_t* indices,
+                     int64_t s_cap) {
+  int64_t S = 0;
+  bool over = false;
+#pragma omp parallel
+  {
+    std::vector<int32_t> wins;
+    wins.reserve(s_cap + 1);
+    int64_t s_local = 0;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      if (over) continue;
+      wins.clear();
+      int32_t last_w = -1;
+      bool bad = false;
+      gell_tile_scan(t, tile, n, K, indptr, indices, nullptr,
+                     [&](int64_t, int32_t c, double) {
+        const int32_t w = c >> 10;
+        if (w == last_w || bad) return;
+        last_w = w;
+        auto it = std::lower_bound(wins.begin(), wins.end(), w);
+        if (it == wins.end() || *it != w) {
+          if ((int64_t)wins.size() >= s_cap) { bad = true; return; }
+          wins.insert(it, w);
+        }
+      });
+      if (bad) {
+#pragma omp atomic write
+        over = true;
+      } else {
+        s_local = std::max<int64_t>(s_local, (int64_t)wins.size());
+      }
+    }
+#pragma omp critical
+    S = std::max(S, s_local);
+  }
+  return over ? -1 : std::max<int64_t>(S, 1);
+}
+
+// Pass 2: fill windows (n_tiles, S) int32 (unused slots repeat the last
+// valid window), counts (n_tiles) int32, packed (n_tiles*tile) int32
+// (sel<<10 | sublane<<7 | lane) and vals (n_tiles*tile) float32.
+void gell_fill(int64_t n, int64_t K, int64_t tile, int64_t n_tiles,
+               int64_t S,
+               const int64_t* indptr, const int32_t* indices,
+               const double* data,
+               int32_t* windows, int32_t* counts,
+               int32_t* packed, float* vals) {
+#pragma omp parallel
+  {
+    std::vector<int32_t> wins;
+    wins.reserve(S);
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      wins.clear();
+      int32_t last_w = -1;
+      gell_tile_scan(t, tile, n, K, indptr, indices, nullptr,
+                     [&](int64_t, int32_t c, double) {
+        const int32_t w = c >> 10;
+        if (w == last_w) return;
+        last_w = w;
+        auto it = std::lower_bound(wins.begin(), wins.end(), w);
+        if (it == wins.end() || *it != w) wins.insert(it, w);
+      });
+      const int64_t cnt = (int64_t)wins.size();
+      counts[t] = (int32_t)cnt;
+      int32_t* wrow = windows + t * S;
+      for (int64_t s = 0; s < S; ++s)
+        wrow[s] = s < cnt ? wins[s] : (cnt ? wins[cnt - 1] : 0);
+      int32_t* prow = packed + t * tile;
+      float* vrow = vals + t * tile;
+      int32_t cached_w = -1, cached_sel = 0;
+      gell_tile_scan(t, tile, n, K, indptr, indices, data,
+                     [&](int64_t lp, int32_t c, double v) {
+        const int32_t w = c >> 10;
+        if (w != cached_w) {
+          cached_w = w;
+          cached_sel = (int32_t)(std::lower_bound(wins.begin(), wins.end(),
+                                                  w) - wins.begin());
+        }
+        prow[lp] = (cached_sel << 10) | (c & 1023);
+        vrow[lp] = (float)v;
+      });
+    }
+  }
+}
+
+// Same fill but vals emitted as bfloat16 (uint16 round-to-nearest-even):
+// halves the largest upload (the tunnel streams H2D at ~50 MB/s).
+void gell_fill_bf16(int64_t n, int64_t K, int64_t tile, int64_t n_tiles,
+                    int64_t S,
+                    const int64_t* indptr, const int32_t* indices,
+                    const double* data,
+                    int32_t* windows, int32_t* counts,
+                    int32_t* packed, uint16_t* vals) {
+#pragma omp parallel
+  {
+    std::vector<int32_t> wins;
+    wins.reserve(S);
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      wins.clear();
+      int32_t last_w = -1;
+      gell_tile_scan(t, tile, n, K, indptr, indices, nullptr,
+                     [&](int64_t, int32_t c, double) {
+        const int32_t w = c >> 10;
+        if (w == last_w) return;
+        last_w = w;
+        auto it = std::lower_bound(wins.begin(), wins.end(), w);
+        if (it == wins.end() || *it != w) wins.insert(it, w);
+      });
+      const int64_t cnt = (int64_t)wins.size();
+      counts[t] = (int32_t)cnt;
+      int32_t* wrow = windows + t * S;
+      for (int64_t s = 0; s < S; ++s)
+        wrow[s] = s < cnt ? wins[s] : (cnt ? wins[cnt - 1] : 0);
+      int32_t* prow = packed + t * tile;
+      uint16_t* vrow = vals + t * tile;
+      int32_t cached_w = -1, cached_sel = 0;
+      gell_tile_scan(t, tile, n, K, indptr, indices, data,
+                     [&](int64_t lp, int32_t c, double v) {
+        const int32_t w = c >> 10;
+        if (w != cached_w) {
+          cached_w = w;
+          cached_sel = (int32_t)(std::lower_bound(wins.begin(), wins.end(),
+                                                  w) - wins.begin());
+        }
+        prow[lp] = (cached_sel << 10) | (c & 1023);
+        vrow[lp] = f32_to_bf16((float)v);
+      });
+    }
+  }
+}
+
+}  // extern "C"

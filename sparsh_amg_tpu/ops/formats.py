@@ -37,7 +37,8 @@ _PALLAS_DIA_MIN = 1 << 14
 
 def _use_pallas_dia(n_pad: int, offsets: tuple = ()) -> bool:
     import os
-    if os.environ.get("SPARSH_NO_PALLAS"):
+    if os.environ.get("SPARSH_NO_PALLAS") or \
+            os.environ.get("SPARSH_NO_PALLAS_DIA"):
         return False
     try:
         if not (jax.default_backend() == "tpu"
@@ -262,7 +263,8 @@ def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
     if prefer_gell:
         from .gell import csr_to_gell, gell_eligible
         if gell_eligible():
-            G = csr_to_gell(A, dtype=dtype)
+            G = csr_to_gell(A, dtype=dtype,
+                            n_pad=_round_up(max(n, 1), pad_multiple))
             if G is not None:
                 return G
     return csr_to_ell(A, dtype, pad_multiple)

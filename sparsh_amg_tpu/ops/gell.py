@@ -105,7 +105,7 @@ def use_pallas_gell() -> bool:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["wwords", "counts", "packed", "vals"],
          meta_fields=["n_rows", "n_cols", "k", "s", "tr", "wmode",
-                      "src_pad"])
+                      "src_pad", "n_pad"])
 @dataclasses.dataclass(frozen=True)
 class GellMatrix:
     wwords: jax.Array         # (n_tiles, W) int32: window bases, packed
@@ -119,9 +119,13 @@ class GellMatrix:
     tr: int                   # tile height (sublane rows)
     wmode: int                # 16: two window bases per word; 32: raw
     src_pad: int              # required padded x length (mult of 1024)
+    n_pad: int                # spmv OUTPUT length: n_rows rounded to the
+                              # level padding (2048); <= stream_rows
 
     @property
-    def n_pad(self) -> int:
+    def stream_rows(self) -> int:
+        """Rows of the internal stream (padded so every candidate tile
+        height divides evenly; >= n_pad)."""
         return (self.packed.shape[0] * self.tr * LANE) // self.k
 
     @property
@@ -144,9 +148,13 @@ class GellMatrix:
         else:
             stream = _gell_gather_xla(self, x)
         # row reduction: stream is row-major, so positions of row i are
-        # contiguous — a reshape + sum that XLA fuses with downstream ops
-        return stream.reshape(self.n_pad, self.k).sum(
+        # contiguous — a reshape + sum that XLA fuses with downstream ops,
+        # sliced/padded from the internal stream padding to the level pad
+        y = stream.reshape(self.stream_rows, self.k).sum(
             axis=1, dtype=jnp.float32)
+        if self.n_pad <= self.stream_rows:
+            return y[: self.n_pad]
+        return jnp.pad(y, (0, self.n_pad - self.stream_rows))
 
 
 def _decode_windows_jnp(wwords, S: int, wmode: int):
@@ -269,46 +277,95 @@ def gell_gather_pallas(wwords, counts, packed, vals, x, *, s: int, tr: int,
     return out.reshape(-1)
 
 
-def _tile_windows(src_flat: np.ndarray, n_tiles: int, tile: int):
-    """Per-tile sorted unique window lists.  Returns (windows (n_tiles,S),
-    counts (n_tiles,), sel (n_tiles, tile))."""
-    wb = (src_flat.reshape(n_tiles, tile) // WIN).astype(np.int64)
-    sw = np.sort(wb, axis=1)
-    new = np.ones((n_tiles, tile), dtype=bool)
-    new[:, 1:] = sw[:, 1:] != sw[:, :-1]
-    counts = new.sum(axis=1)
-    S = int(counts.max()) if n_tiles else 1
-    pos = np.cumsum(new, axis=1) - 1
+def _row_window_pairs(wb: np.ndarray, tile: int):
+    """Unique (tile, window) keys from the ROW-SORTED window table.
+
+    wb is (n_pad, K) with each row non-decreasing (CSR sorted indices; row
+    padding repeats the LAST column).  Each maximal run of equal windows
+    within a row spans < K <= tile positions, so it touches at most two
+    stream tiles — register the run's window under its start tile and
+    (when it straddles a boundary) its end tile.  This sidesteps any
+    O(n*K log) sort of the full stream: the only sort is np.unique over
+    the ~n*windows_per_row pair keys (typically 5-20x smaller).
+    Returns sorted unique int64 keys = tile * SHIFT + window."""
+    n_pad, K = wb.shape
+    assert K <= tile, "a row must fit in one tile"
+    rnew = np.empty((n_pad, K), dtype=bool)
+    rnew[:, 0] = True
+    np.not_equal(wb[:, 1:], wb[:, :-1], out=rnew[:, 1:])
+    r_idx, k_idx = np.nonzero(rnew)
+    w_run = wb[r_idx, k_idx]
+    start = r_idx * K + k_idx
+    # run end = position before the next run start (global nonzero order
+    # is row-major, so the next entry is the next run, possibly next row)
+    end = np.empty_like(start)
+    end[:-1] = start[1:] - 1
+    end[-1] = n_pad * K - 1
+    row_end = (r_idx + 1) * K - 1
+    np.minimum(end, row_end, out=end)
+    shift = np.int64(1) << 32
+    t1 = start // tile
+    t2 = end // tile
+    keys = t1 * shift + w_run
+    straddle = t2 != t1
+    if straddle.any():
+        keys = np.concatenate([keys, t2[straddle] * shift
+                               + w_run[straddle]])
+    return np.unique(keys)
+
+
+def _keys_to_tables(keys: np.ndarray, n_tiles: int):
+    """Sorted (tile,window) keys -> windows (n_tiles, S) int64, counts,
+    offsets (cumulative start of each tile's run inside keys)."""
+    shift = np.int64(1) << 32
+    t = (keys // shift).astype(np.int64)
+    w = (keys % shift).astype(np.int64)
+    counts = np.bincount(t, minlength=n_tiles).astype(np.int64)
+    S = int(counts.max()) if len(keys) else 1
+    offsets = np.zeros(n_tiles + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
     windows = np.zeros((n_tiles, S), dtype=np.int64)
-    tidx = np.repeat(np.arange(n_tiles), tile)
-    windows[tidx, pos.reshape(-1)] = sw.reshape(-1)
-    # pad unused slots by repeating the last valid window (keeps the
-    # prefetch index maps in-bounds; contributions are masked by sel)
-    lastw = windows[np.arange(n_tiles), counts - 1]
-    for si in range(S):
-        unused = counts <= si
-        windows[unused, si] = lastw[unused]
-    # sel = index of each position's window within its tile's sorted list
-    big = windows.copy()
-    big[np.arange(S)[None, :] >= counts[:, None]] = np.iinfo(np.int64).max
-    sel = np.zeros((n_tiles, tile), dtype=np.int64)
-    step = max((1 << 24) // max(S, 1) // max(tile, 1), 1)
-    for c in range(0, n_tiles, step):   # chunk the (nt, tile, S) compare
-        e = min(c + step, n_tiles)
-        sel[c:e] = (wb[c:e, :, None] >= big[c:e, None, :]).sum(axis=2) - 1
-    return windows, counts, sel
+    slot = np.arange(len(keys), dtype=np.int64) - offsets[t]
+    windows[t, slot] = w
+    # pad unused slots with the tile's last valid window (prefetch index
+    # maps stay in-bounds; contributions are masked by sel/counts)
+    lastw = windows[np.arange(n_tiles), np.maximum(counts - 1, 0)]
+    need = counts[:, None] <= np.arange(S)[None, :]
+    windows = np.where(need, lastw[:, None], windows)
+    return windows, counts, offsets
 
 
-def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 24,
-                k_cap: int | None = None):
+def _positions_sel(wb: np.ndarray, keys: np.ndarray,
+                   offsets: np.ndarray, tile: int):
+    """Per-position window slot: rank of (tile(p), wb(p)) in its tile's
+    sorted window list — a vectorized searchsorted (chunked to bound the
+    int64 temporaries at ~100 MB), no S-wide compare."""
+    n_pad, K = wb.shape
+    shift = np.int64(1) << 32
+    total = n_pad * K
+    flat = wb.reshape(-1)
+    sel = np.empty(total, dtype=np.int32)
+    step = _round_up(1 << 23, tile)
+    for c in range(0, total, step):
+        e = min(c + step, total)
+        p_tile = np.arange(c, e, dtype=np.int64) // tile
+        key_pos = p_tile * shift + flat[c:e]
+        sel[c:e] = np.searchsorted(keys, key_pos) - offsets[p_tile]
+    return sel.reshape(n_pad, K)
+
+
+def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
+                k_cap: int | None = None, n_pad: int | None = None):
     """Pack a host CSR matrix into the GELL stream layout.
 
     Picks the smallest tile height TR in {16,32,64,128} whose window
     table fits the SMEM budget (fewer tiles -> fewer scalars; more
     windows per tile -> more kernel passes, skipped per-tile via counts).
     Returns None when a tile would need more than `s_max` windows at
-    TR=16 (too irregular — caller falls back to classical ELL) or when
-    row-degree padding would inflate the stream more than ~4x (k_cap).
+    TR=16 (too irregular — caller falls back to classical ELL; restriction
+    operators from aggressive coarsening legitimately reach S~26-40, hence
+    the generous default) or when row-degree padding would inflate the
+    stream more than ~4x (k_cap).
     """
     A = A.tocsr()
     A.sum_duplicates()
@@ -318,48 +375,33 @@ def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 24,
     K = max(int(deg.max()) if n else 0, 1)
     if k_cap is None:
         k_cap = max(8, int(4 * max(A.nnz, 1) / max(n, 1)))
-    if K > k_cap:
+    if K > k_cap or K > 16 * LANE:
         return None
     src_pad = _round_up(max(m, 1), WIN)
     wmode = 16 if src_pad // WIN <= (1 << 16) else 32
 
-    # stream tables (n_pad, K): src index + value, rows padded by
-    # repeating the row's first column with val 0 (keeps padding inside
-    # an already-needed window); empty rows point at 0
-    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
-    slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
-        A.indptr[:-1].astype(np.int64), deg)
-    first = np.zeros(n, dtype=np.int32)
-    nz = deg > 0
-    first[nz] = A.indices[A.indptr[:-1][nz]]
+    if n_pad is None:
+        n_pad = _round_up(max(n, 1), 2048)
+    if not os.environ.get("SPARSH_GELL_NUMPY"):
+        from .._native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            return _pack_native(lib, A, n, m, K, src_pad, wmode, dtype,
+                                s_max, n_pad)
+    return _pack_numpy(A, n, m, K, src_pad, wmode, dtype, s_max, n_pad)
 
-    chosen = None
-    for TR in (16, 32, 64, 128):
-        tile = TR * LANE
-        n_pad = _round_up(max(n, 1), tile)      # stream divides into tiles
-        src = np.zeros((n_pad, K), dtype=np.int32)
-        src[:n] = first[:, None]
-        src[rows, slot] = A.indices             # CSR cols are sorted
-        n_tiles = (n_pad * K) // tile
-        windows, counts, sel = _tile_windows(src.reshape(-1), n_tiles,
-                                             tile)
-        S = windows.shape[1]
-        if TR == 16 and S > s_max:
-            return None
-        per_word = 2 if wmode == 16 else 1
-        W = -(-S // per_word)
-        smem = n_tiles * (W + 1) * 4
-        chosen = (TR, tile, n_pad, n_tiles, windows, counts, sel, S, W,
-                  src)
-        if smem <= SMEM_BUDGET:
-            break       # fits in one pallas_call
 
-    TR, tile, n_pad, n_tiles, windows, counts, sel, S, W, src = chosen
-    val = np.zeros((n_pad, K), dtype=np.float32)
-    val[rows, slot] = A.data
-    sub = ((src.reshape(n_tiles, tile) // LANE) % 8).astype(np.int32)
-    ln = (src.reshape(n_tiles, tile) % LANE).astype(np.int32)
-    packed = (sel.astype(np.int32) << 10) | (sub << 7) | ln
+def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
+                 TR, n_tiles, wmode, src_pad, n_pad):
+    """Common tail: pack window words, host-convert vals, build the pytree.
+
+    vals conversion happens HERE on host (ml_dtypes) — converting after
+    jnp.asarray uploads fp32 and converts on device, doubling the largest
+    H2D transfer of setup."""
+    if vals_np.dtype != np.dtype(dtype):
+        import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
+        vals_np = vals_np.astype(dtype)
+    windows = windows.astype(np.int64)
     if wmode == 16:
         padded = np.zeros((n_tiles, W * 2), dtype=np.int64)
         padded[:, :S] = windows
@@ -369,11 +411,122 @@ def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 24,
             np.uint32).view(np.int32)
     else:
         wwords = windows.astype(np.int32)
+    LANE_ = LANE
     return GellMatrix(
         wwords=jnp.asarray(wwords, dtype=jnp.int32),
         counts=jnp.asarray(counts, dtype=jnp.int32),
-        packed=jnp.asarray(packed.reshape(n_tiles, TR, LANE),
+        packed=jnp.asarray(packed.reshape(n_tiles, TR, LANE_),
                            dtype=jnp.int32),
-        vals=jnp.asarray(val.reshape(n_tiles, TR, LANE), dtype=dtype),
+        vals=jnp.asarray(vals_np.reshape(n_tiles, TR, LANE_)),
         n_rows=n, n_cols=m, k=K, s=S, tr=TR, wmode=wmode,
-        src_pad=src_pad)
+        src_pad=src_pad, n_pad=n_pad)
+
+
+def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
+                 s_max, n_pad):
+    """OpenMP packer (amg_core.cpp gell_windows/gell_fill*): tile-parallel
+    window discovery + table fill; ~10x the numpy packer at 192^3."""
+    from .._native import csr_arrays
+    indptr, indices, data = csr_arrays(A)
+    rows_pad = _round_up(max(n, 1), 128 * LANE)
+    chosen = None
+    for TR in (16, 32, 64, 128):
+        tile = TR * LANE
+        n_tiles = (rows_pad * K) // tile
+        cap = s_max if TR == 16 else max(s_max * TR, 1 << 14)
+        S = int(lib.gell_windows(n, K, tile, n_tiles, indptr, indices,
+                                 cap))
+        if S < 0:
+            if TR == 16:
+                return None
+            continue
+        per_word = 2 if wmode == 16 else 1
+        W = -(-S // per_word)
+        smem = n_tiles * (W + 1) * 4
+        chosen = (TR, tile, n_tiles, S, W)
+        if smem <= SMEM_BUDGET:
+            break
+    if chosen is None:
+        return None
+    TR, tile, n_tiles, S, W = chosen
+    windows = np.empty((n_tiles, S), dtype=np.int32)
+    counts = np.empty(n_tiles, dtype=np.int32)
+    packed = np.empty(n_tiles * tile, dtype=np.int32)
+    if np.dtype(dtype) == np.dtype("bfloat16"):
+        import ml_dtypes
+        vals = np.empty(n_tiles * tile, dtype=np.uint16)
+        lib.gell_fill_bf16(n, K, tile, n_tiles, S, indptr, indices, data,
+                           windows, counts, packed, vals)
+        vals = vals.view(ml_dtypes.bfloat16)
+    else:
+        vals = np.empty(n_tiles * tile, dtype=np.float32)
+        lib.gell_fill(n, K, tile, n_tiles, S, indptr, indices, data,
+                      windows, counts, packed, vals)
+    return _finish_gell(windows, counts, packed, vals, dtype, n, m, K, S,
+                        W, TR, n_tiles, wmode, src_pad, n_pad)
+
+
+def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
+                n_pad):
+    """Vectorized-numpy packer: the native path's oracle (and the
+    no-toolchain fallback).
+
+    Stream tables (rows_pad, K): src index + value, rows padded by
+    repeating the row's LAST column with val 0 — keeps padding inside
+    an already-needed window AND keeps every row non-decreasing, which
+    is what lets the packer find windows without sorting the stream;
+    empty rows point at 0."""
+    deg = np.diff(A.indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+        A.indptr[:-1].astype(np.int64), deg)
+    last = np.zeros(n, dtype=np.int32)
+    nz = deg > 0
+    last[nz] = A.indices[A.indptr[1:][nz] - 1]
+
+    # stream shape is TR-independent as long as its row padding covers
+    # every tiling: pad to the largest tile so all candidate TRs divide
+    max_tile = 128 * LANE
+    rows_pad = _round_up(max(n, 1), max_tile)
+    src = np.empty((rows_pad, K), dtype=np.int32)
+    src[:n] = last[:, None]
+    src[n:] = 0
+    src[rows, slot] = A.indices                 # CSR cols are sorted
+    wb = src >> 10                              # // WIN, rows sorted
+
+    keys = None
+    chosen = None
+    for TR in (16, 32, 64, 128):
+        tile = TR * LANE
+        n_tiles = (rows_pad * K) // tile
+        if keys is None:
+            keys = _row_window_pairs(wb, tile)
+        else:
+            # merging two adjacent tiles = union of their window sets:
+            # relabel tile ids and re-unique the (small) pair key list
+            shift = np.int64(1) << 32
+            keys = np.unique((keys // shift // 2) * shift + keys % shift)
+        counts = np.bincount((keys // (np.int64(1) << 32)),
+                             minlength=n_tiles)
+        S = int(counts.max()) if len(keys) else 1
+        if TR == 16 and S > s_max:
+            return None
+        per_word = 2 if wmode == 16 else 1
+        W = -(-S // per_word)
+        smem = n_tiles * (W + 1) * 4
+        chosen = (TR, tile, n_tiles, keys, S, W)
+        if smem <= SMEM_BUDGET:
+            break       # fits in one pallas_call
+
+    TR, tile, n_tiles, keys, S, W = chosen
+    windows, counts, offsets = _keys_to_tables(keys, n_tiles)
+    sel = _positions_sel(wb, keys, offsets, tile).reshape(n_tiles, tile)
+    del wb
+    val = np.zeros((rows_pad, K), dtype=np.float32)
+    val[rows, slot] = A.data
+    src = src.reshape(n_tiles, tile)
+    packed = (sel << 10) | (src & 1023)         # sub<<7|lane = c % 1024
+    return _finish_gell(windows.astype(np.int32),
+                        counts.astype(np.int32), packed,
+                        val.reshape(-1), dtype, n, m, K, S, W, TR,
+                        n_tiles, wmode, src_pad, n_pad)

@@ -153,7 +153,8 @@ def _replicated_level(lev, part: Partition, next_part: Partition | None,
     L_pad = part.n_pad
     dev_A = csr_to_device(A, dtype=bdtype, prefer_dia=params.prefer_dia,
                           dia_max_bands=params.dia_max_bands,
-                          dense_size=params.dense_size, pad_multiple=L_pad)
+                          dense_size=params.dense_size, pad_multiple=L_pad,
+                          prefer_gell=True)
     d = A.diagonal()
     dinv = np.zeros(L_pad)
     dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
@@ -178,8 +179,17 @@ def _replicated_level(lev, part: Partition, next_part: Partition | None,
             R = DenseMatrix(mat=jnp.asarray(Rm, dtype=bdtype),
                             n_rows=nc, n_cols=n)
         else:
-            P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=L_pad)
-            R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=M_pad)
+            # replicated transfers run shard-local: the GELL Pallas
+            # window-gather beats the XLA ELL gather here too
+            from ..ops.gell import csr_to_gell, gell_eligible
+            P = R = None
+            if gell_eligible():
+                P = csr_to_gell(lev.P.tocsr(), dtype=bdtype, n_pad=L_pad)
+                R = csr_to_gell(lev.R.tocsr(), dtype=bdtype, n_pad=M_pad)
+            if P is None:
+                P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=L_pad)
+            if R is None:
+                R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=M_pad)
     elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
         dense = np.zeros((L_pad, L_pad), dtype=np.float32)
         dense[:n, :n] = dense_inverse(A, params.coarse_solver)

@@ -44,11 +44,12 @@ def test_gell_reconstructs_indices():
                         for t in range(G.n_tiles)])
     sel, sub, ln = packed >> 10, (packed >> 7) & 7, packed & 127
     base = np.take_along_axis(windows, sel, axis=1)
-    idx = (base * WIN + sub * 128 + ln).reshape(G.n_pad, G.k)
-    vals = np.asarray(G.vals, dtype=np.float64).reshape(G.n_pad, G.k)
+    nr = G.stream_rows
+    idx = (base * WIN + sub * 128 + ln).reshape(nr, G.k)
+    vals = np.asarray(G.vals, dtype=np.float64).reshape(nr, G.k)
     R = sp.csr_matrix((vals.ravel(),
-                       (np.repeat(np.arange(G.n_pad), G.k), idx.ravel())),
-                      shape=(G.n_pad, max(G.src_pad, A.shape[1])))
+                       (np.repeat(np.arange(nr), G.k), idx.ravel())),
+                      shape=(nr, max(G.src_pad, A.shape[1])))
     R.sum_duplicates()
     diff = abs(R[:A.shape[0], :A.shape[1]] - A)
     assert diff.max() < 1e-6
@@ -85,6 +86,41 @@ def test_gell_pallas_interpret_matches_xla():
                                         wmode=G.wmode, interpret=True))
     want = np.asarray(_gell_gather_xla(G, x))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_gell_native_packer_matches_numpy(monkeypatch):
+    """The OpenMP packer (amg_core gell_windows/gell_fill) must produce
+    bit-identical tables to the vectorized-numpy oracle."""
+    from sparsh_amg_tpu._native import get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    A3 = poisson3d(12)
+    hier = amg_setup(A3, AMGParams(coarsening="pmis",
+                                   interpolation="extpi", interp_max=4))
+    lev = hier.levels[0]
+    mats = [poisson2d(40), A3, lev.P.tocsr(), lev.R.tocsr(),
+            sp.csr_matrix((np.array([2.0, 3.0, 4.0]),
+                           (np.array([0, 0, 5]), np.array([1, 7, 3]))),
+                          shape=(9, 11))]
+    for dt in (jnp.float32, jnp.bfloat16):
+        for M in mats:
+            Gn = csr_to_gell(M, dtype=dt)
+            monkeypatch.setenv("SPARSH_GELL_NUMPY", "1")
+            Gp = csr_to_gell(M, dtype=dt)
+            monkeypatch.delenv("SPARSH_GELL_NUMPY")
+            assert (Gn is None) == (Gp is None)
+            if Gn is None:
+                continue
+            for f in ("n_rows", "n_cols", "k", "s", "tr", "wmode",
+                      "src_pad", "n_pad"):
+                assert getattr(Gn, f) == getattr(Gp, f), f
+            for f in ("wwords", "counts", "packed"):
+                np.testing.assert_array_equal(np.asarray(getattr(Gn, f)),
+                                              np.asarray(getattr(Gp, f)),
+                                              err_msg=f)
+            np.testing.assert_array_equal(
+                np.asarray(Gn.vals, dtype=np.float32),
+                np.asarray(Gp.vals, dtype=np.float32))
 
 
 def test_gell_empty_and_padded_rows():
