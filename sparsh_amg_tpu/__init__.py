@@ -11,6 +11,8 @@ V/W/F cycles, and AMG-preconditioned CG / BiCGStab — designed TPU-first:
 * distribution via `jax.sharding` row partitioning with ICI halo collectives
   (see `sparsh_amg_tpu.parallel`).
 """
+from ._native import tune_malloc as _tune_malloc
+_tune_malloc()   # one-time heap tuning; see _native.tune_malloc docstring
 from .params import AMGParams, KrylovParams
 from .setup import amg_setup, Hierarchy
 from . import models, ops, parallel, setup, solve, utils

@@ -76,6 +76,15 @@ def get_lib():
         ]
         lib.soc_symmetric.restype = None
         lib.soc_symmetric.argtypes = lib.soc_classical.argtypes
+        lib.mask_indptr.restype = None
+        lib.mask_indptr.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.uint8), _ptr(np.int64),
+        ]
+        lib.mask_compress.restype = None
+        lib.mask_compress.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.uint8),
+            _ptr(np.int64), _ptr(np.int32),
+        ]
 
         lib.rs_cf.restype = _i64
         lib.rs_cf.argtypes = [
@@ -158,6 +167,35 @@ def get_lib():
         _LIB = lib
         _TRIED = True
         return _LIB
+
+
+_MALLOC_TUNED = False
+
+
+def tune_malloc() -> bool:
+    """Keep freed pages on the process heap (glibc mallopt).
+
+    The deploy VM (firecracker-class microVM) services FRESH anonymous
+    pages at ~0.1-1 GB/s while already-faulted pages run at 4-9 GB/s
+    (measured, RESULTS.md round 2).  glibc serves every >128 KB
+    allocation via mmap and munmaps it on free, so each large numpy
+    temporary re-pays the fault storm.  M_MMAP_MAX=0 + M_TRIM_THRESHOLD
+    =-1 route large allocations through the brk heap and never return
+    pages — each page faults at most once per process.  Gated by
+    SPARSH_NO_MALLOC_TUNE; no-op off glibc.
+    """
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED or os.environ.get("SPARSH_NO_MALLOC_TUNE"):
+        return _MALLOC_TUNED
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_MAX = -1, -4
+        ok = bool(libc.mallopt(M_MMAP_MAX, 0))
+        ok = bool(libc.mallopt(M_TRIM_THRESHOLD, -1)) and ok
+        _MALLOC_TUNED = ok
+    except OSError:
+        _MALLOC_TUNED = False
+    return _MALLOC_TUNED
 
 
 def csr_arrays(A):

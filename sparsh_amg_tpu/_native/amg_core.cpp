@@ -43,6 +43,35 @@ void soc_classical(int64_t n, const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// indptr of the strong-mask-compressed CSR: out[i+1]-out[i] = kept entries
+// of row i.  Parallel per-row counts + a serial n-length scan — avoids the
+// nnz-length numpy cumsum (pathologically slow on the deploy VM's memory
+// subsystem; see RESULTS.md round 2).
+void mask_indptr(int64_t n, const int64_t* indptr, const uint8_t* mask,
+                 int64_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t c = 0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) c += mask[k];
+    out[i + 1] = c;
+  }
+  out[0] = 0;
+  for (int64_t i = 0; i < n; ++i) out[i + 1] += out[i];
+}
+
+// Compress indices under the mask into a pre-sized CSR (out_indptr from
+// mask_indptr) — replaces a boolean fancy-index + astype pass in numpy.
+void mask_compress(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const uint8_t* mask, const int64_t* out_indptr,
+                   int32_t* out_indices) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t w = out_indptr[i];
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (mask[k]) out_indices[w++] = indices[k];
+  }
+}
+
 // Symmetric SoC (used for aggregation / smoothed aggregation, Vanek 1996):
 // (i,j) strong iff |a_ij| >= theta * sqrt(|a_ii| * |a_jj|).
 void soc_symmetric(int64_t n, const int64_t* indptr, const int32_t* indices,
@@ -772,6 +801,7 @@ void spgemm_numeric(int64_t n, int64_t m,
           }
         }
       }
+      std::sort(C_indices + start, C_indices + start + cnt);
       for (int64_t s = start; s < start + cnt; ++s) {
         C_data[s] = acc[C_indices[s]];
         pos[C_indices[s]] = -1;        // row-local reset

@@ -14,19 +14,19 @@ from .._native import get_lib, csr_arrays
 
 
 def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
-    """C = A @ B, picking the faster engine per product shape.
+    """C = A @ B via the row-parallel OpenMP kernel.
 
-    The native OpenMP kernel wins when rows do enough work to amortize its
-    dense per-thread accumulator (measured: R@(AP) 3.5s vs scipy 10.6s at
-    2M rows); scipy wins on skinny products (A@P 0.5s vs native 4.7s).
+    Native wins at every shape once the product is big enough to matter
+    (re-measured round 2 after the monotonic-schedule fix: fine-level A@P
+    at 2M rows native 0.2-0.7 s vs scipy 1.2-2.2 s; fat R@(AP) 3.5 s vs
+    10.6 s); scipy only serves tiny products and the no-toolchain
+    fallback.
     """
     n, k = A.shape
     k2, m = B.shape
     assert k == k2
     lib = get_lib()
-    # expected accumulator touches per output row
-    est = (A.nnz / max(n, 1)) * (B.nnz / max(k, 1))
-    if lib is None or est < 100.0:
+    if lib is None or A.nnz + B.nnz < (1 << 16):
         return (A @ B).tocsr()
     A_indptr, A_indices, A_data = csr_arrays(A)
     B_indptr, B_indices, B_data = csr_arrays(B)
@@ -39,7 +39,10 @@ def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
                        B_indptr, B_indices, B_data,
                        C_indptr, C_indices, C_data)
     C = sp.csr_matrix((C_data, C_indices, C_indptr), shape=(n, m))
-    C.sort_indices()
+    # rows are sorted inside spgemm_numeric (parallel, vs scipy's serial
+    # sort_indices pass) and contain no duplicates by construction
+    C.has_sorted_indices = True
+    C.has_canonical_format = True
     return C
 
 

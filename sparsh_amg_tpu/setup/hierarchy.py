@@ -131,7 +131,8 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
         if out is None:
             break
         P, cf, agg, B_c = out
-        Ac = galerkin_product(levels[-1].A, P,
+        R = P.T.tocsr()
+        Ac = galerkin_product(levels[-1].A, P, R=R,
                               drop_tol=params.rap_drop_tol)
         # aggressive coarsening: compose a second coarsening round so the
         # intermediate grid never becomes a cycle level.  The Galerkin
@@ -143,12 +144,16 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
             out2 = _coarsen_once(Ac, params)
             if out2 is not None:
                 P2, _, _, _ = out2
+                R2 = P2.T.tocsr()
                 P = spgemm(P, P2)
+                # (P1 P2)^T as a parallel product of the two transposes —
+                # transposing the composed fine-level P would be another
+                # serial scipy csc pass over the largest operator
+                R = spgemm(R2, R)
                 cf = None               # composed split has no single C/F
-                Ac = galerkin_product(Ac, P2,
+                Ac = galerkin_product(Ac, P2, R=R2,
                                       drop_tol=params.rap_drop_tol)
         B = B_c
-        R = P.T.tocsr()
         levels[-1].P = P
         levels[-1].R = R
         levels[-1].cf = cf

@@ -16,6 +16,23 @@ def _rows_of_nnz(A: sp.csr_matrix) -> np.ndarray:
         np.arange(A.shape[0], dtype=np.int64), np.diff(A.indptr))
 
 
+def _strength_csr(lib, A: sp.csr_matrix, indptr, indices,
+                  strong: np.ndarray) -> sp.csr_matrix:
+    """Build the pattern-only strength CSR from the per-nonzero mask with
+    native single-pass kernels (no nnz-length cumsum / fancy-index — both
+    pathologically slow on the deploy VM).  S.data is a contiguous ones
+    fill (one streaming write): the in-package consumers (splitting,
+    aggregation) read only the pattern, but tests and users index S."""
+    n = A.shape[0]
+    S_indptr = np.empty(n + 1, dtype=np.int64)
+    lib.mask_indptr(n, indptr, strong, S_indptr)
+    nnz = int(S_indptr[-1])
+    S_indices = np.empty(nnz, dtype=np.int32)
+    lib.mask_compress(n, indptr, indices, strong, S_indptr, S_indices)
+    return sp.csr_matrix((np.ones(nnz, dtype=np.float32), S_indices,
+                          S_indptr), shape=A.shape)
+
+
 def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
     """Return (strong_mask over A.data, S) where S is the 0/1 strength CSR."""
     n = A.shape[0]
@@ -24,7 +41,8 @@ def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
         indptr, indices, data = csr_arrays(A)
         strong = np.empty(len(indices), dtype=np.uint8)
         lib.soc_classical(n, indptr, indices, data, float(theta), strong)
-        mask = strong.astype(bool)
+        return strong.view(bool), _strength_csr(lib, A, indptr, indices,
+                                                strong)
     else:
         rows = _rows_of_nnz(A)
         offdiag = A.indices != rows
@@ -56,7 +74,8 @@ def symmetric_strength(A: sp.csr_matrix, theta: float = 0.25):
         indptr, indices, data = csr_arrays(A)
         strong = np.empty(len(indices), dtype=np.uint8)
         lib.soc_symmetric(n, indptr, indices, data, float(theta), strong)
-        mask = strong.astype(bool)
+        return strong.view(bool), _strength_csr(lib, A, indptr, indices,
+                                                strong)
     else:
         rows = _rows_of_nnz(A)
         diag = np.zeros(n)
