@@ -85,6 +85,12 @@ def get_lib():
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.uint8),
             _ptr(np.int64), _ptr(np.int32),
         ]
+        lib.poisson3d_fill.restype = None
+        # pass 1: indices=None fills indptr; pass 2 fills indices/data
+        lib.poisson3d_fill.argtypes = [
+            _i64, _i64, _i64, _ptr(np.int64),
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
 
         lib.rs_cf.restype = _i64
         lib.rs_cf.argtypes = [

@@ -72,6 +72,46 @@ void mask_compress(int64_t n, const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Test-problem assembly (SURVEY.md section 2, C3)
+// ---------------------------------------------------------------------------
+
+// Direct CSR assembly of the 3-D 7-point Dirichlet Laplacian on an
+// nx*ny*nz interior grid (index = (iz*ny + iy)*nx + ix).  The numpy
+// stencil path materializes ~1 GB of index/diag temporaries and a dia->csr
+// conversion, all faulting fresh pages serially (~35 s at 192^3 on the
+// deploy VM); here the only writes are the output arrays, faulted in
+// parallel by the writing threads (~1-2 s at 192^3, scales to 100M rows).
+// Pass 1 (indices==nullptr): fill indptr row counts + serial scan.
+// Pass 2: fill indices/data.
+void poisson3d_fill(int64_t nx, int64_t ny, int64_t nz, int64_t* indptr,
+                    int32_t* indices, double* data) {
+  const int64_t n = nx * ny * nz, nxy = nx * ny;
+  if (indices == nullptr) {
+#pragma omp parallel for schedule(static)
+    for (int64_t k = 0; k < n; ++k) {
+      const int64_t ix = k % nx, iy = (k / nx) % ny, iz = k / nxy;
+      indptr[k + 1] = 1 + (ix > 0) + (ix < nx - 1) + (iy > 0) +
+                      (iy < ny - 1) + (iz > 0) + (iz < nz - 1);
+    }
+    indptr[0] = 0;
+    for (int64_t k = 0; k < n; ++k) indptr[k + 1] += indptr[k];
+    return;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t ix = k % nx, iy = (k / nx) % ny, iz = k / nxy;
+    int64_t w = indptr[k];
+    if (iz > 0)      { indices[w] = (int32_t)(k - nxy); data[w++] = -1.0; }
+    if (iy > 0)      { indices[w] = (int32_t)(k - nx);  data[w++] = -1.0; }
+    if (ix > 0)      { indices[w] = (int32_t)(k - 1);   data[w++] = -1.0; }
+    indices[w] = (int32_t)k; data[w++] = 6.0;
+    if (ix < nx - 1) { indices[w] = (int32_t)(k + 1);   data[w++] = -1.0; }
+    if (iy < ny - 1) { indices[w] = (int32_t)(k + nx);  data[w++] = -1.0; }
+    if (iz < nz - 1) { indices[w] = (int32_t)(k + nxy); data[w++] = -1.0; }
+  }
+}
+
 // Symmetric SoC (used for aggregation / smoothed aggregation, Vanek 1996):
 // (i,j) strong iff |a_ij| >= theta * sqrt(|a_ii| * |a_jj|).
 void soc_symmetric(int64_t n, const int64_t* indptr, const int32_t* indices,

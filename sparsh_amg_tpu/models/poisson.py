@@ -2,6 +2,8 @@
 SURVEY.md §2 C3; BASELINE.json configs 0, 1, 4)."""
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -27,11 +29,28 @@ def poisson2d(nx: int, ny: int | None = None, dtype=np.float64) -> sp.csr_matrix
 def poisson3d(nx: int, ny: int | None = None, nz: int | None = None,
               dtype=np.float64) -> sp.csr_matrix:
     """3-D 7-point Poisson on an nx*ny*nz interior grid
-    (index = (iz*ny + iy)*nx + ix).  Assembled directly from the stencil
-    (sp.kron chains take ~1 min at 200^3; this is seconds)."""
+    (index = (iz*ny + iy)*nx + ix).  Assembled directly into CSR by a
+    native OpenMP kernel when available (the numpy stencil path's ~1 GB of
+    index temporaries fault fresh pages serially — ~35 s at 192^3 on the
+    deploy VM vs ~1 s native); numpy fallback below."""
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     n = nx * ny * nz
+    from .._native import get_lib
+    lib = get_lib()
+    if lib is not None and dtype == np.float64 and n < (1 << 31):
+        indptr = np.empty(n + 1, dtype=np.int64)
+        lib.poisson3d_fill(nx, ny, nz, indptr, None, None)
+        nnz = int(indptr[-1])
+        indices = np.empty(nnz, dtype=np.int32)
+        data = np.empty(nnz, dtype=np.float64)
+        lib.poisson3d_fill(nx, ny, nz, indptr,
+                           indices.ctypes.data_as(ctypes.c_void_p),
+                           data.ctypes.data_as(ctypes.c_void_p))
+        A = sp.csr_matrix((data, indices, indptr), shape=(n, n))
+        A.has_sorted_indices = True
+        A.has_canonical_format = True
+        return A
     idx = np.arange(n, dtype=np.int64)
     ix = idx % nx
     iy = (idx // nx) % ny

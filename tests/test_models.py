@@ -40,6 +40,21 @@ def test_poisson3d_stencil():
     assert (Ad[c] == -1).sum() == 6
 
 
+def test_poisson3d_native_matches_kron():
+    # the native OpenMP CSR assembler must reproduce the Kronecker-sum
+    # operator exactly (pattern and values), cubic and non-cubic
+    for dims in ((5, 5, 5), (4, 5, 6)):
+        A = poisson3d(*dims)
+        I = [sp.identity(d, format="csr") for d in dims]
+        L = [sp.diags([-np.ones(d - 1), 2 * np.ones(d), -np.ones(d - 1)],
+                      [-1, 0, 1], format="csr") for d in dims]
+        # index = (iz*ny + iy)*nx + ix -> x fastest: A = Iz⊗Iy⊗Lx + ...
+        K = (sp.kron(sp.kron(I[2], I[1]), L[0])
+             + sp.kron(sp.kron(I[2], L[1]), I[0])
+             + sp.kron(sp.kron(L[2], I[1]), I[0])).tocsr()
+        assert (A != K).nnz == 0
+
+
 def test_anisotropic_properties():
     A = anisotropic2d(8, epsilon=1e-3, angle_deg=45.0)
     assert A.shape == (64, 64)
