@@ -85,6 +85,21 @@ def get_lib():
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.uint8),
             _ptr(np.int64), _ptr(np.int32),
         ]
+        lib.dia_offsets.restype = _i64
+        lib.dia_offsets.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _i64, _ptr(np.int64),
+        ]
+        lib.dia_fill_df64.restype = None
+        lib.dia_fill_df64.argtypes = [
+            _i64, _i64, _i64, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.float64), _ptr(np.int64), _ptr(np.float32),
+            _ptr(np.float32),
+        ]
+        lib.dia_fill_f32.restype = None
+        lib.dia_fill_f32.argtypes = [
+            _i64, _i64, _i64, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.float64), _ptr(np.int64), _ptr(np.float32),
+        ]
         lib.poisson3d_fill.restype = None
         # pass 1: indices=None fills indptr; pass 2 fills indices/data
         lib.poisson3d_fill.argtypes = [

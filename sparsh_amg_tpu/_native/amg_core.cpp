@@ -16,6 +16,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <omp.h>
 
 extern "C" {
 
@@ -109,6 +110,98 @@ void poisson3d_fill(int64_t nx, int64_t ny, int64_t nz, int64_t* indptr,
     if (ix < nx - 1) { indices[w] = (int32_t)(k + 1);   data[w++] = -1.0; }
     if (iy < ny - 1) { indices[w] = (int32_t)(k + nx);  data[w++] = -1.0; }
     if (iz < nz - 1) { indices[w] = (int32_t)(k + nxy); data[w++] = -1.0; }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// DIA layout builders (device-upload path, SURVEY.md section 2 C1/C23)
+// ---------------------------------------------------------------------------
+
+// Distinct diagonal offsets (col - row) of a square CSR, sorted ascending.
+// Returns the count, or -1 if it exceeds cap (caller falls back to
+// ELL/GELL).  Replaces numpy's rows/offs materialization + np.unique — an
+// nnz-length sort (~400 MB at 5e7 nnz) on the deploy VM's slow memory.
+int64_t dia_offsets(int64_t n, const int64_t* indptr, const int32_t* indices,
+                    int64_t cap, int64_t* offsets_out) {
+  bool over = false;
+  std::vector<std::vector<int64_t>> tl;
+#pragma omp parallel
+  {
+#pragma omp single
+    tl.resize(omp_get_num_threads());
+    std::vector<int64_t>& mine = tl[omp_get_thread_num()];
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      if (over) continue;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int64_t off = (int64_t)indices[k] - i;
+        auto it = std::lower_bound(mine.begin(), mine.end(), off);
+        if (it == mine.end() || *it != off) {
+          if ((int64_t)mine.size() > cap) { over = true; break; }
+          mine.insert(it, off);
+        }
+      }
+    }
+  }
+  std::vector<int64_t> all;
+  for (auto& v : tl) all.insert(all.end(), v.begin(), v.end());
+  std::sort(all.begin(), all.end());
+  all.erase(std::unique(all.begin(), all.end()), all.end());
+  if (over || (int64_t)all.size() > cap) return -1;
+  std::copy(all.begin(), all.end(), offsets_out);
+  return (int64_t)all.size();
+}
+
+// Fill an fp32 double-float DIA band pair from a float64 CSR in ONE pass:
+// hi = (float)a, lo = (float)(a - (double)hi) — the standard error-free
+// split.  bands_* are (K, n_pad) row-major float32, zeroed here in
+// parallel (np.zeros would fault its pages serially on first scatter).
+// Replaces two csr_matrix copies, two astype passes, a data subtraction,
+// and two f64 band scatters + f64->f32 casts (~38 s -> ~1 s at 5e7 nnz).
+void dia_fill_df64(int64_t n, int64_t n_pad, int64_t K,
+                   const int64_t* indptr, const int32_t* indices,
+                   const double* data, const int64_t* offsets,
+                   float* bands_hi, float* bands_lo) {
+#pragma omp parallel
+  {
+#pragma omp for schedule(static)
+    for (int64_t d = 0; d < K; ++d) {
+      std::memset(bands_hi + d * n_pad, 0, sizeof(float) * n_pad);
+      std::memset(bands_lo + d * n_pad, 0, sizeof(float) * n_pad);
+    }
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int64_t off = (int64_t)indices[k] - i;
+        const int64_t d = std::lower_bound(offsets, offsets + K, off)
+                          - offsets;
+        const double a = data[k];
+        const float hi = (float)a;
+        bands_hi[d * n_pad + i] = hi;
+        bands_lo[d * n_pad + i] = (float)(a - (double)hi);
+      }
+    }
+  }
+}
+
+// Single-precision variant of dia_fill_df64 (plain device DIA upload).
+void dia_fill_f32(int64_t n, int64_t n_pad, int64_t K,
+                  const int64_t* indptr, const int32_t* indices,
+                  const double* data, const int64_t* offsets, float* bands) {
+#pragma omp parallel
+  {
+#pragma omp for schedule(static)
+    for (int64_t d = 0; d < K; ++d)
+      std::memset(bands + d * n_pad, 0, sizeof(float) * n_pad);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int64_t off = (int64_t)indices[k] - i;
+        const int64_t d = std::lower_bound(offsets, offsets + K, off)
+                          - offsets;
+        bands[d * n_pad + i] = (float)data[k];
+      }
+    }
   }
 }
 

@@ -61,6 +61,30 @@ def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
                 dia_max_bands: int = 32,
                 pad_multiple: int = 2048) -> Df64Matrix:
     """Build a df64 device operator from a host float64 CSR matrix."""
+    n, m = A.shape
+    if prefer_dia and n == m and A.nnz > 0:
+        # single-pass native builder: offsets scan + error-free hi/lo band
+        # split in one OpenMP sweep (the numpy path below re-copies the
+        # CSR twice, sorts an nnz-length offsets array, and scatters f64
+        # bands twice — ~38 s at 5e7 nnz on the deploy VM vs ~1 s here)
+        from .._native import get_lib, csr_arrays
+        from .formats import _round_up
+        lib = get_lib()
+        if lib is not None:
+            indptr, indices, data = csr_arrays(A)
+            uoffs = np.empty(dia_max_bands + 1, dtype=np.int64)
+            k = int(lib.dia_offsets(n, indptr, indices, dia_max_bands,
+                                    uoffs))
+            if k > 0 and k * n <= 4 * A.nnz:
+                n_pad = _round_up(max(n, 1), pad_multiple)
+                bands_hi = np.empty((k, n_pad), dtype=np.float32)
+                bands_lo = np.empty((k, n_pad), dtype=np.float32)
+                lib.dia_fill_df64(n, n_pad, k, indptr, indices, data,
+                                  uoffs[:k].copy(), bands_hi, bands_lo)
+                A_hi = DiaMatrix(bands=jnp.asarray(bands_hi),
+                                 offsets=tuple(int(o) for o in uoffs[:k]),
+                                 n_rows=n, n_cols=m)
+                return Df64Matrix(A_hi=A_hi, lo=jnp.asarray(bands_lo))
     A_hi_host = A.copy()
     A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
     lo_host = A.copy()

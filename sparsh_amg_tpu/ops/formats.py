@@ -191,13 +191,26 @@ def csr_to_dia(A: sp.csr_matrix, dtype=jnp.float32,
                pad_multiple: int = 128, _pre=None) -> DiaMatrix:
     n, m = A.shape
     assert n == m, "DIA layout requires a square matrix"
+    n_pad = _round_up(max(n, 1), pad_multiple)
+    if _pre is not None and isinstance(_pre, np.ndarray):
+        # native path: _pre is just the sorted offsets; one OpenMP pass
+        # fills the fp32 band table (no nnz-length temporaries)
+        from .._native import get_lib, csr_arrays
+        lib = get_lib()
+        uoffs = _pre
+        indptr, indices, data = csr_arrays(A)
+        bands = np.empty((len(uoffs), n_pad), dtype=np.float32)
+        lib.dia_fill_f32(n, n_pad, len(uoffs), indptr, indices, data,
+                         uoffs, bands)
+        return DiaMatrix(bands=jnp.asarray(bands, dtype=dtype),
+                         offsets=tuple(int(o) for o in uoffs),
+                         n_rows=n, n_cols=m)
     if _pre is not None:
         rows, offs, uoffs = _pre   # reuse csr_to_device's computation
     else:
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
         offs = A.indices.astype(np.int64) - rows
         uoffs = np.unique(offs)
-    n_pad = _round_up(max(n, 1), pad_multiple)
     bands = np.zeros((len(uoffs), n_pad), dtype=np.float64)
     pos = np.searchsorted(uoffs, offs)
     bands[pos, rows] = A.data
@@ -252,12 +265,23 @@ def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
     if dense_size and n <= dense_size and m <= dense_size:
         return csr_to_dense(A, dtype, pad_multiple)
     if prefer_dia and n == m and A.nnz > 0:
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
-        offs = A.indices.astype(np.int64) - rows
-        uoffs = np.unique(offs)
-        if len(uoffs) <= dia_max_bands:
+        from .._native import get_lib, csr_arrays
+        lib = get_lib()
+        if lib is not None and jnp.dtype(dtype).itemsize <= 4:
+            indptr, indices, _ = csr_arrays(A)
+            uoffs = np.empty(dia_max_bands + 1, dtype=np.int64)
+            k = int(lib.dia_offsets(n, indptr, indices, dia_max_bands,
+                                    uoffs))
             # DIA wastes (n_diags*n - nnz) slots; accept if <= 2x blowup
-            if len(uoffs) * n <= 4 * A.nnz:
+            if 0 < k and k * n <= 4 * A.nnz:
+                return csr_to_dia(A, dtype, pad_multiple,
+                                  _pre=uoffs[:k].copy())
+        else:
+            rows = np.repeat(np.arange(n, dtype=np.int64),
+                             np.diff(A.indptr))
+            offs = A.indices.astype(np.int64) - rows
+            uoffs = np.unique(offs)
+            if len(uoffs) <= dia_max_bands and len(uoffs) * n <= 4 * A.nnz:
                 return csr_to_dia(A, dtype, pad_multiple,
                                   _pre=(rows, offs, uoffs))
     if prefer_gell:

@@ -58,3 +58,26 @@ def test_df64_residual_below_fp32():
     relres = np.linalg.norm(r) / np.linalg.norm(b64)
     # fp32 evaluation would give ~1e-7; df64 must be far below
     assert relres < 5e-13
+
+
+def test_csr_to_df64_native_matches_numpy():
+    """The one-pass native DIA df64 builder must match the numpy path
+    bitwise (same offsets, same hi/lo split)."""
+    import sparsh_amg_tpu._native as nat
+    if nat.get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    from sparsh_amg_tpu.models.poisson import poisson3d
+    A = poisson3d(7).tocsr()
+    A.data = A.data * np.pi / 3     # fp32-inexact entries
+    M1 = csr_to_df64(A)
+    orig = nat.get_lib
+    nat.get_lib = lambda: None      # force the numpy fallback
+    try:
+        M0 = csr_to_df64(A)
+    finally:
+        nat.get_lib = orig
+    assert M1.A_hi.offsets == M0.A_hi.offsets
+    assert np.array_equal(np.asarray(M1.A_hi.bands),
+                          np.asarray(M0.A_hi.bands))
+    assert np.array_equal(np.asarray(M1.lo), np.asarray(M0.lo))
