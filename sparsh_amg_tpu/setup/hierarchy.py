@@ -117,7 +117,11 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
     carried down the hierarchy via the aggregate-local QR coarse basis.
     """
     params = params or AMGParams()
-    A = A.tocsr().astype(np.float64)
+    A = A.tocsr()
+    if A.dtype != np.float64:
+        A = A.astype(np.float64)    # astype always copies; skip when clean
+    elif not A.has_canonical_format:
+        A = A.copy()                # sum_duplicates mutates in place
     A.sum_duplicates()
     levels = [Level(A=A)]
     B = None
