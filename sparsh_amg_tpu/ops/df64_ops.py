@@ -25,9 +25,17 @@ from .formats import DiaMatrix, EllMatrix, csr_to_device
 @dataclasses.dataclass(frozen=True)
 class Df64Matrix:
     """A sparse matrix as a df64 pair: A = A_hi + lo (lo shares A_hi's
-    layout arrays)."""
+    layout arrays).  lo is None when every entry of A is fp32-exact
+    (common: FD stencils with integer coefficients) — the lo half of the
+    SpMV and its HBM traffic then vanish entirely."""
     A_hi: object              # DiaMatrix | EllMatrix (fp32)
-    lo: jax.Array             # same shape as A_hi.bands / A_hi.vals
+    lo: jax.Array | None      # same shape as A_hi.bands / A_hi.vals
+
+    def _mul(self, d, a_hi, x_hi, x_lo):
+        if self.lo is None:
+            # entries exact in fp32: df64 * fp32-matrix product
+            return df64.mul_f32(x_hi, x_lo, a_hi)
+        return df64.mul(a_hi, self.lo[d], x_hi, x_lo)
 
     def spmv_df64(self, x_hi, x_lo):
         """y = A @ x in df64; returns (y_hi, y_lo)."""
@@ -42,7 +50,7 @@ class Df64Matrix:
             for d, off in enumerate(A.offsets):
                 sh = jax.lax.dynamic_slice(xh, (maxoff + off,), (n_pad,))
                 sl = jax.lax.dynamic_slice(xl, (maxoff + off,), (n_pad,))
-                p_hi, p_lo = df64.mul(A.bands[d], self.lo[d], sh, sl)
+                p_hi, p_lo = self._mul(d, A.bands[d], sh, sl)
                 y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
             return y_hi, y_lo
         elif isinstance(A, EllMatrix):
@@ -51,7 +59,7 @@ class Df64Matrix:
             for k in range(A.k):
                 gh = x_hi.at[A.cols[k]].get(mode="promise_in_bounds")
                 gl = x_lo.at[A.cols[k]].get(mode="promise_in_bounds")
-                p_hi, p_lo = df64.mul(A.vals[k], self.lo[k], gh, gl)
+                p_hi, p_lo = self._mul(k, A.vals[k], gh, gl)
                 y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
             return y_hi, y_lo
         raise TypeError(type(A))
@@ -84,7 +92,8 @@ def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
                 A_hi = DiaMatrix(bands=jnp.asarray(bands_hi),
                                  offsets=tuple(int(o) for o in uoffs[:k]),
                                  n_rows=n, n_cols=m)
-                return Df64Matrix(A_hi=A_hi, lo=jnp.asarray(bands_lo))
+                lo = None if not bands_lo.any() else jnp.asarray(bands_lo)
+                return Df64Matrix(A_hi=A_hi, lo=lo)
     A_hi_host = A.copy()
     A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
     lo_host = A.copy()
@@ -116,11 +125,12 @@ def csr_to_df64(A: sp.csr_matrix, prefer_dia: bool = True,
                                prefer_dia=prefer_dia,
                                dia_max_bands=dia_max_bands,
                                pad_multiple=pad_multiple)
+    exact = not lo_host.data.any()   # every entry fp32-exact -> drop lo
     if isinstance(A_hi, DiaMatrix):
         assert isinstance(lo_dev, DiaMatrix) and lo_dev.offsets == A_hi.offsets
-        return Df64Matrix(A_hi=A_hi, lo=lo_dev.bands)
+        return Df64Matrix(A_hi=A_hi, lo=None if exact else lo_dev.bands)
     assert isinstance(lo_dev, EllMatrix) and lo_dev.vals.shape == A_hi.vals.shape
-    return Df64Matrix(A_hi=A_hi, lo=lo_dev.vals)
+    return Df64Matrix(A_hi=A_hi, lo=None if exact else lo_dev.vals)
 
 
 def residual_df64(Adf: Df64Matrix, b_hi, b_lo, x_hi, x_lo):

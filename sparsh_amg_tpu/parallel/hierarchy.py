@@ -37,7 +37,13 @@ class DistDf64:
     """Distributed df64 operator: A = A_hi + lo, lo sharing A_hi's layout
     (see ops/df64_ops.py for the serial twin)."""
     A_hi: object              # DistDia | DistEll (fp32)
-    lo: jax.Array             # same shape as A_hi.bands / A_hi.vals
+    lo: jax.Array | None      # same shape as A_hi.bands / A_hi.vals;
+                              # None when every entry is fp32-exact
+
+    def _mul(self, d, a_hi, x_hi, x_lo):
+        if self.lo is None:
+            return df64.mul_f32(x_hi, x_lo, a_hi)
+        return df64.mul(a_hi, self.lo[d], x_hi, x_lo)
 
     def spmv_df64(self, x_hi, x_lo):
         A = self.A_hi
@@ -51,7 +57,7 @@ class DistDf64:
             for d, off in enumerate(A.offsets):
                 sh = jax.lax.dynamic_slice(eh, (A.h + off,), (n_loc,))
                 sl = jax.lax.dynamic_slice(el, (A.h + off,), (n_loc,))
-                p_hi, p_lo = df64.mul(A.bands[d], self.lo[d], sh, sl)
+                p_hi, p_lo = self._mul(d, A.bands[d], sh, sl)
                 y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
             return y_hi, y_lo
         assert isinstance(A, DistEll)
@@ -66,7 +72,7 @@ class DistDf64:
         for k in range(A.k):
             gh = sh_src.at[A.cols[k]].get(mode="promise_in_bounds")
             gl = sl_src.at[A.cols[k]].get(mode="promise_in_bounds")
-            p_hi, p_lo = df64.mul(A.vals[k], self.lo[k], gh, gl)
+            p_hi, p_lo = self._mul(k, A.vals[k], gh, gl)
             y_hi, y_lo = df64.add(y_hi, y_lo, p_hi, p_lo)
         return y_hi, y_lo
 
@@ -318,6 +324,8 @@ def fine_df64(hier: Hierarchy, dist: DistHierarchy, params: AMGParams,
     A_hi = csr_to_dist(A_hi_host, part, part, dtype=jnp.float32, axis=axis,
                        prefer_dia=params.prefer_dia,
                        dia_max_bands=params.dia_max_bands)
+    if not lo_host.data.any():     # every entry fp32-exact -> drop lo
+        return DistDf64(A_hi=A_hi, lo=None)
     lo_dev = csr_to_dist(lo_host, part, part, dtype=jnp.float32, axis=axis,
                          prefer_dia=params.prefer_dia,
                          dia_max_bands=params.dia_max_bands)

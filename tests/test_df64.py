@@ -81,3 +81,25 @@ def test_csr_to_df64_native_matches_numpy():
     assert np.array_equal(np.asarray(M1.A_hi.bands),
                           np.asarray(M0.A_hi.bands))
     assert np.array_equal(np.asarray(M1.lo), np.asarray(M0.lo))
+
+
+def test_csr_to_df64_exact_drops_lo():
+    """fp32-exact entries (FD stencil integers) -> lo is None and the
+    df64 SpMV still matches the f64 product."""
+    from sparsh_amg_tpu.models.poisson import poisson2d
+    A = poisson2d(16)            # entries {4,-1}: fp32-exact
+    M = csr_to_df64(A)
+    assert M.lo is None
+    n = A.shape[0]
+    rng = np.random.default_rng(5)
+    x64 = rng.standard_normal(n)
+    n_pad = M.A_hi.n_pad
+    xh, xl = df64.from_f64_np(np.pad(x64, (0, n_pad - n)))
+    yh, yl = jax.jit(M.spmv_df64)(jnp.asarray(xh), jnp.asarray(xl))
+    y = df64.to_f64_np(np.asarray(yh), np.asarray(yl))[:n]
+    want = A @ x64
+    err = np.abs(y - want).max() / max(np.abs(want).max(), 1e-30)
+    assert err < 1e-13
+    # inexact entries must keep lo
+    B = A.copy(); B.data = B.data * np.pi / 3
+    assert csr_to_df64(B).lo is not None
