@@ -122,7 +122,11 @@ def main():
         extra = {}
     else:
         interp = "extpi"
-        extra = dict(interp_max=4, rap_drop_tol=0.01, agg_levels=1)
+        # interp_max_composed=5: re-truncate the composed aggressive-
+        # coarsening P (K 13 -> 5, i.e. 2.6x smaller device transfer
+        # tables) — measured iteration-neutral at 64^3..96^3
+        extra = dict(interp_max=4, rap_drop_tol=0.01, agg_levels=1,
+                     interp_max_composed=5)
         if args.coarsening == "rs":
             args.coarsening = "pmis"   # flagship pairing
     params = AMGParams(smoother="chebyshev", cycle="V",

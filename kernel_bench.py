@@ -66,6 +66,7 @@ def main():
         params = AMGParams(smoother="chebyshev", coarsening="pmis",
                            interpolation="extpi", interp_max=4,
                            rap_drop_tol=0.01, agg_levels=1,
+                           interp_max_composed=5,
                            band_dtype="bfloat16", dense_size=8192,
                            cheby_degree_coarse=1, cheby_coarse_from=1)
         A = poisson3d(args.n)
@@ -87,6 +88,8 @@ def main():
         bw = 2 * nv * 4 * 20 / (time.perf_counter() - t0)
         emit({"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9})
 
+        from sparsh_amg_tpu.ops.gell import GellMatrix, SplitGell
+
         def bytes_of(op):
             # HBM traffic of one SpMV: matrix data + x read + y write
             if isinstance(op, DiaMatrix):
@@ -95,6 +98,12 @@ def main():
             elif isinstance(op, EllMatrix):
                 mat = op.vals.size * (op.vals.dtype.itemsize + 4)  # + cols
                 vec = (op.k + 1) * op.n_pad * 4   # gathered x + y
+            elif isinstance(op, GellMatrix):
+                mat = (op.packed.size * 4
+                       + op.vals.size * op.vals.dtype.itemsize)
+                vec = op.packed.size * 4 + op.n_pad * 4  # gathered x + y
+            elif isinstance(op, SplitGell):
+                return bytes_of(op.part) + bytes_of(op.comb)
             else:
                 mat = op.mat.size * op.mat.dtype.itemsize
                 vec = (op.mat.shape[0] + op.mat.shape[1]) * 4
@@ -132,6 +141,40 @@ def main():
                 "bytes_per_op": int(b),
                 "hbm_frac": (b / dt) / bw,
             })
+
+        # transfer operators (prolongation/restriction): the gather-
+        # heaviest ops of the cycle — GELL plain or row-split
+        for li, lev in enumerate(dev.levels):
+            for nm in ("P", "R"):
+                op = getattr(lev, nm)
+                if op is None or not isinstance(op, (GellMatrix, SplitGell)):
+                    continue
+                hop = getattr(hier.levels[li], nm)
+                nnz = hop.nnz
+                layout = ("splitgell" if isinstance(op, SplitGell)
+                          else "gell")
+                src = getattr(op, "src_pad", op.n_pad)
+                xt = jnp.asarray(rng.standard_normal(src),
+                                 dtype=jnp.float32)
+
+                @jax.jit
+                def chain_t(o, x, _n=op.n_pad, _s=src):
+                    acc = jnp.zeros(_n, dtype=jnp.float32)
+                    for _ in range(reps):
+                        acc = acc + o.spmv(x)
+                        x = x * 1.0000001
+                    return acc
+
+                chain = lambda x, op=op: chain_t(op, x)
+                chain(xt).block_until_ready()
+                dt = measure(chain, xt) / reps
+                b = bytes_of(op)
+                emit({
+                    "kernel": f"{nm}_l{li}", "mode": tag, "layout": layout,
+                    "shape": list(hop.shape), "nnz": int(nnz),
+                    "per_op_ms": dt * 1e3, "nnz_per_s": nnz / dt,
+                    "bytes_per_op": int(b), "hbm_frac": (b / dt) / bw,
+                })
 
         # full V-cycle chained
         cycle = make_cycle(params)

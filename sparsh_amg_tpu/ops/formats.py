@@ -285,10 +285,10 @@ def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
                 return csr_to_dia(A, dtype, pad_multiple,
                                   _pre=(rows, offs, uoffs))
     if prefer_gell:
-        from .gell import csr_to_gell, gell_eligible
+        from .gell import csr_to_gell_auto, gell_eligible
         if gell_eligible():
-            G = csr_to_gell(A, dtype=dtype,
-                            n_pad=_round_up(max(n, 1), pad_multiple))
+            G = csr_to_gell_auto(A, dtype=dtype,
+                                 n_pad=_round_up(max(n, 1), pad_multiple))
             if G is not None:
                 return G
     return csr_to_ell(A, dtype, pad_multiple)

@@ -66,13 +66,25 @@ import scipy.sparse as sp
 
 LANE = 128
 WIN = 8 * LANE             # 1024 x entries per window
-# scalar-prefetch SMEM budget (bytes): measured on v5e-behind-relay that
-# 39 KB compiles and 59 KB crashes the Mosaic compile helper
-SMEM_BUDGET = int(os.environ.get("SPARSH_GELL_SMEM", 36 * 1024))
+# Scalar-prefetch SMEM budget (bytes).  Mosaic lays the prefetched
+# (n_tiles, W) window table out with each ROW padded to a full 128-lane
+# int32 row (512 B) regardless of W — bisected on hardware: a 2160-tile
+# call fails with "allocation (size=1105920 = 2160*512) would exceed
+# memory (size=1048576)" while 1872 tiles (958 KB) compiles.  So the
+# binding constraint is n_tiles * 4*roundup(W,128) against the 1 MB SMEM;
+# budget 768 KB leaves headroom for counts + kernel scalars.  (Round 2's
+# earlier "48 KB prefetch cap" was this same limit mis-attributed to W.)
+SMEM_BUDGET = int(os.environ.get("SPARSH_GELL_SMEM", 768 * 1024))
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _smem_per_tile(W: int) -> int:
+    """SMEM bytes one grid tile's prefetched scalars occupy (padded
+    wwords row + its counts word)."""
+    return 4 * (_round_up(max(W, 1), 128) + 1)
 
 
 def gell_eligible() -> bool:
@@ -185,7 +197,7 @@ def _gell_gather_xla(G: GellMatrix, x):
 def _gather_pallas_chunked(G: GellMatrix, x):
     """Split the stream into equal-tile chunks so each call's prefetched
     window table fits SMEM; all full chunks share one executable."""
-    per_tile = 4 * (G.wwords.shape[1] + 1)
+    per_tile = _smem_per_tile(G.wwords.shape[1])
     max_tiles = max(SMEM_BUDGET // per_tile, 1)
     n = G.n_tiles
     if n <= max_tiles:
@@ -442,7 +454,7 @@ def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
             continue
         per_word = 2 if wmode == 16 else 1
         W = -(-S // per_word)
-        smem = n_tiles * (W + 1) * 4
+        smem = n_tiles * _smem_per_tile(W)
         chosen = (TR, tile, n_tiles, S, W)
         if smem <= SMEM_BUDGET:
             break
@@ -513,7 +525,7 @@ def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
             return None
         per_word = 2 if wmode == 16 else 1
         W = -(-S // per_word)
-        smem = n_tiles * (W + 1) * 4
+        smem = n_tiles * _smem_per_tile(W)
         chosen = (TR, tile, n_tiles, keys, S, W)
         if smem <= SMEM_BUDGET:
             break       # fits in one pallas_call
@@ -530,3 +542,106 @@ def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
                         counts.astype(np.int32), packed,
                         val.reshape(-1), dtype, n, m, K, S, W, TR,
                         n_tiles, wmode, src_pad, n_pad)
+
+
+# ---------------------------------------------------------------------------
+# Row-split GELL: kill row-degree padding on skewed operators
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["part", "comb"], meta_fields=["n_rows", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class SplitGell:
+    """A = comb @ part — a row-split GELL pair.
+
+    GELL pads every row to the matrix max degree K; restriction operators
+    from aggressive coarsening are degree-skewed (96^3 R0: avg 96, max
+    209 -> 2.2x slot padding).  Splitting each row into ceil(deg/kq)
+    sub-rows of <= kq nonzeros bounds the padding at ~kq/2 per row, and
+    the per-row partial sums are recombined by a second GELL SpMV with a
+    0/1 matrix whose columns are CONTIGUOUS (comb row i sums sub-rows
+    cumg[i]..cumg[i+1]-1) — perfectly window-coherent, S~1.  Both factors
+    reuse the one window-gather Pallas kernel; `part` shares the original
+    CSR's indices/data arrays (only a new indptr), so the split is free
+    on the host."""
+    part: GellMatrix          # (n_split x n_cols), <= kq nnz per row
+    comb: GellMatrix          # (n_rows x n_split), 0/1 contiguous
+    n_rows: int
+    n_cols: int
+
+    @property
+    def n_pad(self) -> int:
+        return self.comb.n_pad
+
+    @property
+    def src_pad(self) -> int:
+        return self.part.src_pad
+
+    @property
+    def k(self) -> int:       # diagnostic: padded slots per logical row
+        return self.part.k * self.comb.k
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        return self.comb.spmv(self.part.spmv(x))
+
+
+def _split_quantum(deg: np.ndarray, K: int):
+    """Pick the sub-row size kq minimizing total stream slots (part +
+    comb), or None when splitting saves < 25% over the plain packing."""
+    n = len(deg)
+    if n == 0 or K <= 8:
+        return None
+    base = n * K
+    best = None
+    for kq in (8, 16, 24, 32, 48, 64, 96, 128):
+        if kq >= K:
+            break
+        g = np.maximum(1, -(-deg // kq))
+        slots = int(g.sum()) * kq + n * int(g.max())
+        if best is None or slots < best[0]:
+            best = (slots, kq)
+    if best is None or best[0] > 0.75 * base:
+        return None
+    return best[1]
+
+
+def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
+                     n_pad: int | None = None):
+    """GELL packing with automatic row splitting.
+
+    Returns a GellMatrix, a SplitGell (when splitting saves >= 25% of the
+    stream), or None (caller falls back to classical ELL)."""
+    A = A.tocsr()
+    n, m = A.shape
+    deg = np.diff(A.indptr)
+    K = max(int(deg.max()) if n else 0, 1)
+    kq = _split_quantum(deg, K)
+    if kq is None:
+        return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad)
+    g = np.maximum(1, -(-deg // kq)).astype(np.int64)
+    cumg = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(g, out=cumg[1:])
+    n_split = int(cumg[-1])
+    row_of = np.repeat(np.arange(n, dtype=np.int64), g)
+    within = np.arange(n_split, dtype=np.int64) - cumg[row_of]
+    part_indptr = np.empty(n_split + 1, dtype=np.int64)
+    part_indptr[:-1] = A.indptr[row_of] + within * kq
+    part_indptr[-1] = A.nnz
+    part = sp.csr_matrix((A.data, A.indices, part_indptr),
+                         shape=(n_split, m))
+    part.has_sorted_indices = True      # sub-ranges of sorted rows
+    part.has_canonical_format = True
+    comb = sp.csr_matrix((np.ones(n_split, dtype=np.float64),
+                          np.arange(n_split, dtype=np.int32), cumg),
+                         shape=(n, n_split))
+    comb.has_sorted_indices = True
+    comb.has_canonical_format = True
+    # explicit k_caps: the split factors are padding-optimal by
+    # construction, so the default 4x-average blowup guard must not veto
+    # them (comb's max degree ceil(K/kq) legitimately exceeds 4x its mean)
+    Gp = csr_to_gell(part, dtype=dtype, s_max=s_max, k_cap=kq)
+    Gc = csr_to_gell(comb, dtype=dtype, s_max=s_max, n_pad=n_pad,
+                     k_cap=int(g.max()))
+    if Gp is None or Gc is None:
+        return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad)
+    return SplitGell(part=Gp, comb=Gc, n_rows=n, n_cols=m)

@@ -43,6 +43,15 @@ class AMGParams:
                                        # intermediate level never enters
                                        # the cycle (hypre agg_num_levels /
                                        # Notay double-pairwise analogue)
+    interp_max_composed: int = 0       # after an aggressive (composed)
+                                       # coarsening step, re-truncate the
+                                       # composed P1@P2 to this many entries
+                                       # per row and re-form the Galerkin
+                                       # operator from the FINE-level A
+                                       # (hypre truncates multipass/composed
+                                       # interpolation the same way); cuts
+                                       # the device transfer tables ~2x for
+                                       # one extra host SpGEMM. 0 = off.
     rap_drop_tol: float = 0.0          # drop coarse-operator entries with
                                        # |a_ij| < tol*sqrt(a_ii*a_jj), lumped
                                        # to the diagonal (ML-style filtering;

@@ -155,8 +155,19 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                 # serial scipy csc pass over the largest operator
                 R = spgemm(R2, R)
                 cf = None               # composed split has no single C/F
-                Ac = galerkin_product(Ac, P2, R=R2,
-                                      drop_tol=params.rap_drop_tol)
+                if params.interp_max_composed > 0:
+                    # hypre-style truncation of the composed interpolation
+                    # (sign-separated rescaling), then the Galerkin
+                    # operator is re-formed from the FINE-level A so the
+                    # hierarchy stays variational wrt the stored P/R
+                    from .interp import truncate_rows
+                    P = truncate_rows(P, params.interp_max_composed)
+                    R = P.T.tocsr()
+                    Ac = galerkin_product(levels[-1].A, P, R=R,
+                                          drop_tol=params.rap_drop_tol)
+                else:
+                    Ac = galerkin_product(Ac, P2, R=R2,
+                                          drop_tol=params.rap_drop_tol)
         B = B_c
         levels[-1].P = P
         levels[-1].R = R

@@ -146,11 +146,13 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
             else:
                 # transfers are the gather-heaviest ops of the cycle
                 # (fine-row-count work): gathered-ELL when it packs
-                from ..ops.gell import csr_to_gell, gell_eligible
+                from ..ops.gell import csr_to_gell_auto, gell_eligible
                 P = R = None
                 if gell_eligible():
-                    P = csr_to_gell(lev.P.tocsr(), dtype=bdtype)
-                    R = csr_to_gell(lev.R.tocsr(), dtype=bdtype)
+                    # _auto row-splits degree-skewed operators (hits the
+                    # aggressive-coarsening restriction: ~2x fewer slots)
+                    P = csr_to_gell_auto(lev.P.tocsr(), dtype=bdtype)
+                    R = csr_to_gell_auto(lev.R.tocsr(), dtype=bdtype)
                 if P is None:
                     P = csr_to_ell(lev.P, dtype=bdtype, pad_multiple=2048)
                 if R is None:

@@ -131,3 +131,47 @@ def test_gell_empty_and_padded_rows():
         shape=(9, 11))
     G = csr_to_gell(A)
     _spmv_oracle(A, G)
+
+
+def _skewed_csr(n=600, m=3000, seed=7):
+    """Rows mostly light with a heavy tail — the restriction profile that
+    makes plain GELL pad ~2x."""
+    rng = np.random.default_rng(seed)
+    deg = np.where(rng.random(n) < 0.9,
+                   rng.integers(3, 12, n), rng.integers(60, 90, n))
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    cols = []
+    for i in range(n):
+        base = int(i * m / n)
+        c = np.unique((base + rng.integers(0, 400, deg[i])) % m)
+        cols.append(np.sort(c))
+    indices = np.concatenate(cols).astype(np.int32)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in cols], out=indptr[1:])
+    data = rng.standard_normal(indptr[-1])
+    return sp.csr_matrix((data, indices, indptr), shape=(n, m))
+
+
+def test_split_gell_matches_scipy():
+    from sparsh_amg_tpu.ops.gell import csr_to_gell_auto, SplitGell
+    A = _skewed_csr()
+    G = csr_to_gell_auto(A)
+    assert isinstance(G, SplitGell), "skewed profile should trigger a split"
+    # the split stream must actually be smaller than the plain packing
+    # (logical slots; the fixed tile-padding floor is shared by both)
+    deg = np.diff(A.indptr)
+    plain_slots = A.shape[0] * int(deg.max())
+    kq = G.part.k
+    g = np.maximum(1, -(-deg // kq))
+    split_slots = int(g.sum()) * kq + A.shape[0] * G.comb.k
+    assert split_slots < 0.8 * plain_slots
+    _spmv_oracle(A, G)
+
+
+def test_split_gell_uniform_stays_plain():
+    from sparsh_amg_tpu.ops.gell import csr_to_gell_auto, SplitGell
+    A = poisson2d(40)          # uniform 5-point rows: nothing to split
+    G = csr_to_gell_auto(A)
+    assert not isinstance(G, SplitGell)
+    _spmv_oracle(A, G)

@@ -155,6 +155,26 @@ def test_pmis_extpi_aggressive_grid_independent():
     assert max(iters) - min(iters) <= 4
 
 
+def test_composed_interp_truncation_iteration_neutral():
+    """interp_max_composed re-truncates the composed aggressive-coarsening
+    P and re-forms the Galerkin operator from the fine A; it must cut the
+    transfer width without costing iterations (measured 12 vs 12 up to
+    96^3 on hardware)."""
+    base = dict(coarsening="pmis", interpolation="extpi", interp_max=4,
+                rap_drop_tol=0.01, agg_levels=1, smoother="chebyshev")
+    A = poisson3d(24)
+    b = np.random.default_rng(3).standard_normal(A.shape[0])
+    s0 = AMGSolver(A, AMGParams(**base), KrylovParams(tol=1e-8))
+    s1 = AMGSolver(A, AMGParams(**base, interp_max_composed=5),
+                   KrylovParams(tol=1e-8))
+    k0 = int(np.diff(s0.hierarchy.levels[0].P.tocsr().indptr).max())
+    k1 = int(np.diff(s1.hierarchy.levels[0].P.tocsr().indptr).max())
+    assert k1 <= 5 < k0
+    r0, r1 = s0.solve(b), s1.solve(b)
+    assert r1.converged
+    assert r1.iterations <= r0.iterations + 2
+
+
 def test_elasticity_rigid_body_modes_grid_independent():
     """SA with rigid-body near-nullspace modes bounds elasticity iteration
     counts (without modes: 44 -> 112 growing over the same sizes)."""
