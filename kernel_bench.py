@@ -74,17 +74,21 @@ def main():
         dev = to_device(hier, params)
         reps = args.reps
 
-        # copy bandwidth as the roofline denominator
+        # copy bandwidth as the roofline denominator — the 20 copies are
+        # chained INSIDE one jit (separate dispatches through the relay
+        # are launch-bound and report ~1 GB/s for a 819 GB/s chip)
         nbytes = 1 << 27
         nv = nbytes // 4
         xbw = jnp.ones((nv,), dtype=jnp.float32)
-        bw_fn = jax.jit(lambda v: v * 1.0000001)
+
+        @jax.jit
+        def bw_fn(v):
+            for _ in range(20):
+                v = v * 1.0000001
+            return v
         bw_fn(xbw).block_until_ready()
         t0 = time.perf_counter()
-        y = xbw
-        for _ in range(20):
-            y = bw_fn(y)
-        float(jnp.sum(y))
+        float(jnp.sum(bw_fn(xbw * 1.0000001)))
         bw = 2 * nv * 4 * 20 / (time.perf_counter() - t0)
         emit({"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9})
 
