@@ -367,7 +367,9 @@ def _positions_sel(wb: np.ndarray, keys: np.ndarray,
 
 
 def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
-                k_cap: int | None = None, n_pad: int | None = None):
+                k_cap: int | None = None, n_pad: int | None = None,
+                tr_force: int | None = None, s_force: int | None = None,
+                k_force: int | None = None):
     """Pack a host CSR matrix into the GELL stream layout.
 
     Picks the smallest tile height TR in {16,32,64,128} whose window
@@ -385,9 +387,12 @@ def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
     n, m = A.shape
     deg = np.diff(A.indptr)
     K = max(int(deg.max()) if n else 0, 1)
+    if k_force is not None:
+        assert k_force >= K, "k_force below actual max row degree"
+        K = k_force
     if k_cap is None:
         k_cap = max(8, int(4 * max(A.nnz, 1) / max(n, 1)))
-    if K > k_cap or K > 16 * LANE:
+    if (K > k_cap and k_force is None) or K > 16 * LANE:
         return None
     src_pad = _round_up(max(m, 1), WIN)
     wmode = 16 if src_pad // WIN <= (1 << 16) else 32
@@ -399,8 +404,10 @@ def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
         lib = get_lib()
         if lib is not None:
             return _pack_native(lib, A, n, m, K, src_pad, wmode, dtype,
-                                s_max, n_pad)
-    return _pack_numpy(A, n, m, K, src_pad, wmode, dtype, s_max, n_pad)
+                                s_max, n_pad, tr_force=tr_force,
+                                s_force=s_force, k_force=k_force)
+    return _pack_numpy(A, n, m, K, src_pad, wmode, dtype, s_max, n_pad,
+                       tr_force=tr_force, s_force=s_force, k_force=k_force)
 
 
 def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
@@ -435,23 +442,36 @@ def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
 
 
 def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
-                 s_max, n_pad):
+                 s_max, n_pad, tr_force=None, s_force=None, k_force=None):
     """OpenMP packer (amg_core.cpp gell_windows/gell_fill*): tile-parallel
-    window discovery + table fill; ~10x the numpy packer at 192^3."""
+    window discovery + table fill; ~10x the numpy packer at 192^3.
+
+    tr_force/s_force (with csr_to_gell's k_force) pin the static table
+    shape — used by the distributed stacker, where every shard's tables
+    must be shape-identical inside shard_map."""
     from .._native import csr_arrays
     indptr, indices, data = csr_arrays(A)
     rows_pad = _round_up(max(n, 1), 128 * LANE)
     chosen = None
-    for TR in (16, 32, 64, 128):
+    candidates = (tr_force,) if tr_force else (16, 32, 64, 128)
+    for TR in candidates:
         tile = TR * LANE
         n_tiles = (rows_pad * K) // tile
         cap = s_max if TR == 16 else max(s_max * TR, 1 << 14)
+        if s_force is not None:
+            cap = max(cap, s_force)
         S = int(lib.gell_windows(n, K, tile, n_tiles, indptr, indices,
                                  cap))
         if S < 0:
-            if TR == 16:
+            # TR=16's s_max cap is the irregularity policy gate; larger
+            # TRs carry huge caps and only fail under tr_force
+            if TR == 16 or tr_force:
                 return None
             continue
+        if s_force is not None:
+            if s_force < S:
+                return None
+            S = s_force
         per_word = 2 if wmode == 16 else 1
         W = -(-S // per_word)
         smem = n_tiles * _smem_per_tile(W)
@@ -479,7 +499,7 @@ def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
 
 
 def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
-                n_pad):
+                n_pad, tr_force=None, s_force=None, k_force=None):
     """Vectorized-numpy packer: the native path's oracle (and the
     no-toolchain fallback).
 
@@ -521,17 +541,30 @@ def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
         counts = np.bincount((keys // (np.int64(1) << 32)),
                              minlength=n_tiles)
         S = int(counts.max()) if len(keys) else 1
-        if TR == 16 and S > s_max:
+        if TR == 16 and S > s_max and not tr_force:
             return None
+        if tr_force and TR != tr_force:
+            continue
+        if s_force is not None:
+            if S > s_force:
+                return None
+            S = s_force
         per_word = 2 if wmode == 16 else 1
         W = -(-S // per_word)
         smem = n_tiles * _smem_per_tile(W)
         chosen = (TR, tile, n_tiles, keys, S, W)
-        if smem <= SMEM_BUDGET:
+        if smem <= SMEM_BUDGET or tr_force:
             break       # fits in one pallas_call
 
+    if chosen is None:
+        return None
     TR, tile, n_tiles, keys, S, W = chosen
     windows, counts, offsets = _keys_to_tables(keys, n_tiles)
+    if windows.shape[1] < S:        # s_force padding: repeat last valid
+        lastw = windows[np.arange(n_tiles),
+                        np.maximum(np.asarray(counts) - 1, 0)]
+        pad = np.repeat(lastw[:, None], S - windows.shape[1], axis=1)
+        windows = np.concatenate([windows, pad], axis=1)
     sel = _positions_sel(wb, keys, offsets, tile).reshape(n_tiles, tile)
     del wb
     val = np.zeros((rows_pad, K), dtype=np.float32)
@@ -645,3 +678,50 @@ def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
     if Gp is None or Gc is None:
         return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad)
     return SplitGell(part=Gp, comb=Gc, n_rows=n, n_cols=m)
+
+
+def csr_to_gell_stacked(blocks, dtype=jnp.float32, s_max: int = 64,
+                        n_pad: int | None = None):
+    """Pack nd same-shape CSR row-blocks into GELL tables with IDENTICAL
+    static shapes (K, S, TR, W, n_tiles) — the shard_map stacking
+    requirement for the distributed solver.  Returns a list of
+    GellMatrix or None (caller falls back to DistEll)."""
+    nd = len(blocks)
+    assert all(B.shape == blocks[0].shape for B in blocks)
+    n = blocks[0].shape[0]
+    K = 1
+    for B in blocks:
+        d = np.diff(B.indptr)
+        K = max(K, int(d.max()) if len(d) else 1)
+    nnz_avg = sum(B.nnz for B in blocks) / max(nd * max(n, 1), 1)
+    if K > max(8, int(4 * max(nnz_avg, 1))) or K > 16 * LANE:
+        return None
+    chosen = None
+    for TR in (16, 32, 64, 128):
+        Gs = [csr_to_gell(B, dtype=dtype, s_max=s_max, n_pad=n_pad,
+                          tr_force=TR, k_force=K) for B in blocks]
+        if any(G is None for G in Gs):
+            if TR == 16:
+                return None       # s_max policy gate (matches csr_to_gell)
+            continue
+        S = max(G.s for G in Gs)
+        per_word = 2 if Gs[0].wmode == 16 else 1
+        W = -(-S // per_word)
+        smem = Gs[0].n_tiles * _smem_per_tile(W)
+        chosen = (TR, S, Gs)
+        if smem <= SMEM_BUDGET:
+            break
+    if chosen is None:
+        return None
+    TR, S, Gs = chosen
+    out = []
+    for B, G in zip(blocks, Gs):
+        if G.s != S:
+            G = csr_to_gell(B, dtype=dtype, s_max=s_max, n_pad=n_pad,
+                            tr_force=TR, s_force=S, k_force=K)
+            if G is None:
+                return None
+        out.append(G)
+    assert len({(G.k, G.s, G.tr, G.wmode, G.n_tiles,
+                 G.wwords.shape, G.packed.shape) for G in out}) == 1
+    return out

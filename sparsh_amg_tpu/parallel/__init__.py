@@ -8,13 +8,14 @@ neighbor `ppermute` over ICI, reductions as `psum`, and coarse-level
 agglomeration as `all_gather` onto replicated dense solves.
 """
 from .partition import Partition
-from .dist import DistDia, DistEll, csr_to_dist, halo_exchange, pdot
+from .dist import (DistDia, DistEll, DistGell, csr_to_dist,
+                   halo_exchange, pdot)
 from .hierarchy import to_dist, DistHierarchy, DistLevel
 from .solver import DistAMGSolver
 from .multihost import init_multihost, global_mesh
 
 __all__ = [
-    "Partition", "DistDia", "DistEll", "csr_to_dist", "halo_exchange",
+    "Partition", "DistDia", "DistEll", "DistGell", "csr_to_dist", "halo_exchange",
     "pdot", "to_dist", "DistHierarchy", "DistLevel", "DistAMGSolver",
     "init_multihost", "global_mesh",
 ]

@@ -321,14 +321,18 @@ def fine_df64(hier: Hierarchy, dist: DistHierarchy, params: AMGParams,
     A_hi_host.data = A.data.astype(np.float32).astype(np.float64)
     lo_host = A.copy()
     lo_host.data = A.data - A_hi_host.data
+    # allow_gell=False: DistDf64's paired hi/lo SpMV needs the DistDia /
+    # DistEll layouts whose value arrays it can walk band-by-band
     A_hi = csr_to_dist(A_hi_host, part, part, dtype=jnp.float32, axis=axis,
                        prefer_dia=params.prefer_dia,
-                       dia_max_bands=params.dia_max_bands)
+                       dia_max_bands=params.dia_max_bands,
+                       allow_gell=False)
     if not lo_host.data.any():     # every entry fp32-exact -> drop lo
         return DistDf64(A_hi=A_hi, lo=None)
     lo_dev = csr_to_dist(lo_host, part, part, dtype=jnp.float32, axis=axis,
                          prefer_dia=params.prefer_dia,
-                         dia_max_bands=params.dia_max_bands)
+                         dia_max_bands=params.dia_max_bands,
+                         allow_gell=False)
     if isinstance(A_hi, DistDia):
         assert isinstance(lo_dev, DistDia) and lo_dev.offsets == A_hi.offsets
         return DistDf64(A_hi=A_hi, lo=lo_dev.bands)

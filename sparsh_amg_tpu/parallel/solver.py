@@ -87,8 +87,12 @@ class DistAMGSolver:
         Pr, Pn = P(axis), P()
 
         def shmap(body, in_specs, out_specs):
+            # check_vma=False: pallas_call (the GELL window-gather kernel,
+            # DistGell) has no varying-mesh-axes annotation on its
+            # out_shape, and JAX 0.9's vma checker rejects it inside
+            # shard_map; per-shard shapes here are uniform by construction
             return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs)
+                                 out_specs=out_specs, check_vma=False)
 
         def inner_solve(levels_st, Adf_st, b_st, tol, maxiter):
             def body(levels_s, Adf_s, b_s, tol_s):

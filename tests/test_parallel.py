@@ -226,3 +226,32 @@ def test_replication_nd1_vs_nd8():
                        krylov=kr).solve(b)
     assert r1.converged and r8.converged
     np.testing.assert_allclose(r1.x, r8.x, rtol=1e-6, atol=1e-9)
+
+
+def test_dist_gell_solve_matches_serial(monkeypatch):
+    """With GELL forced on, the distributed hierarchy's irregular levels
+    pack as DistGell (uniform stacked window-gather tables) and the solve
+    matches the serial answer — the distributed face of ops/gell.py."""
+    monkeypatch.setenv("SPARSH_FORCE_GELL", "1")
+    from sparsh_amg_tpu.parallel.dist import DistGell
+    A = poisson3d(16)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(A.shape[0])
+    params = AMGParams(smoother="chebyshev", coarsening="pmis",
+                       interpolation="extpi", interp_max=4,
+                       rap_drop_tol=0.01, coarse_size=40,
+                       replicate_size=0)   # keep levels distributed
+    kr = KrylovParams(tol=1e-8, loop_mode="device")
+    dist = DistAMGSolver(A, params=params, krylov=kr)
+    kinds = set()
+    for lev in dist.dist.levels:
+        for op in (getattr(lev, "A", None), getattr(lev, "P", None),
+                   getattr(lev, "R", None)):
+            op = getattr(op, "op", op)      # unwrap GatherOut/ReplSrc
+            kinds.add(type(op).__name__)
+    assert "DistGell" in kinds, f"no DistGell built: {kinds}"
+    res = dist.solve(b)
+    assert res.converged
+    assert np.linalg.norm(b - A @ res.x) / np.linalg.norm(b) <= 1e-8
+    serial = AMGSolver(A, params, kr).solve(b)
+    assert abs(res.iterations - serial.iterations) <= 3
