@@ -52,6 +52,14 @@ TR (tile height) adapts per matrix: the smallest of {16,32,64,128} whose
 window table fits the SMEM budget; if even TR=128 is over, the call is
 split into equal-tile chunks (identical shapes + index maps, so all
 chunks share one executable).
+
+Probed dead end (2026-08-17, do not retry): sub-1024 windows — (1,128)
+x BlockSpecs to skip the 8-gather sublane fold on narrow-span operators —
+are ILLEGAL: Pallas TPU requires the block's sublane dim divisible by 8
+(or the full axis), so 1024 is the minimum window.  Measured anyway: the
+fold is the right trade — 3-D transfers spread parents across grid
+planes, so 128-granularity multiplies S by ~4x (P0: S 5 -> 18), eating
+the per-pass saving.
 """
 from __future__ import annotations
 
