@@ -150,10 +150,6 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                 P2, _, _, _ = out2
                 R2 = P2.T.tocsr()
                 P = spgemm(P, P2)
-                # (P1 P2)^T as a parallel product of the two transposes —
-                # transposing the composed fine-level P would be another
-                # serial scipy csc pass over the largest operator
-                R = spgemm(R2, R)
                 cf = None               # composed split has no single C/F
                 if params.interp_max_composed > 0:
                     # hypre-style truncation of the composed interpolation
@@ -166,6 +162,11 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                     Ac = galerkin_product(levels[-1].A, P, R=R,
                                           drop_tol=params.rap_drop_tol)
                 else:
+                    # (P1 P2)^T as a parallel product of the two
+                    # transposes — transposing the composed fine-level P
+                    # would be a serial scipy csc pass over the largest
+                    # operator
+                    R = spgemm(R2, R)
                     Ac = galerkin_product(Ac, P2, R=R2,
                                           drop_tol=params.rap_drop_tol)
         B = B_c
