@@ -184,7 +184,13 @@ def main():
         "hbm_bw_GBs": bw / 1e9,
         "speed_of_light_nnz_per_s": sol_nnz_per_s,
         "backend": jax.default_backend(),
+        "device_bytes": solver.device_bytes(),
     }
+    from sparsh_amg_tpu.utils.meminfo import device_memory_stats
+    stats = device_memory_stats()
+    for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if k in stats:
+            out[k] = stats[k]
     print(json.dumps(out))
 
 

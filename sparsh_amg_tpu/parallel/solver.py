@@ -78,6 +78,12 @@ class DistAMGSolver:
         self._build_jitted()
         self.setup_time = time.perf_counter() - t0
 
+    def device_bytes(self) -> int:
+        """Persistent device footprint across all shards: the sharded
+        level pytrees + the df64 fine operator."""
+        from ..utils.meminfo import tree_device_bytes
+        return tree_device_bytes((self.levels, self.A_df))
+
     # -- jitted shard_map kernels ----------------------------------------
     def _build_jitted(self):
         cycle = make_cycle(self.params)

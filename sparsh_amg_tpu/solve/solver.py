@@ -91,6 +91,13 @@ class AMGSolver:
         self._build_jitted()
         self.setup_time = time.perf_counter() - t0
 
+    def device_bytes(self) -> int:
+        """Persistent device footprint: frozen hierarchy + df64 operator
+        (work vectors are transient inside the jitted loop; see
+        utils.meminfo.device_memory_stats for the live allocator view)."""
+        from ..utils.meminfo import tree_device_bytes
+        return tree_device_bytes((self.device, self.A_df))
+
     # -- jitted kernels ----------------------------------------------------
     def _build_jitted(self):
         cycle = make_cycle(self.params)

@@ -187,3 +187,23 @@ def test_iteration_logging(caplog):
     with caplog.at_level(logging.INFO, logger="sparsh_amg_tpu"):
         s.solve(b)
     assert not [r for r in caplog.records if r.levelno <= logging.DEBUG]
+
+
+def test_device_bytes_accounting():
+    """device_bytes() counts every persistent device leaf and is the
+    right order of magnitude for the hierarchy it describes."""
+    from sparsh_amg_tpu.models.poisson import poisson3d
+    from sparsh_amg_tpu.params import AMGParams
+    from sparsh_amg_tpu.solve.solver import AMGSolver
+    from sparsh_amg_tpu.utils.meminfo import (tree_device_bytes,
+                                              device_memory_stats)
+    A = poisson3d(12)
+    solver = AMGSolver(A, AMGParams(smoother="chebyshev"))
+    nb = solver.device_bytes()
+    # at least the fine-level df64 hi bands (7 * 4 B * n rows, padded)
+    assert nb >= 7 * 4 * A.shape[0]
+    assert nb < 1 << 30  # and not absurd for a 1728-row problem
+    assert nb == tree_device_bytes((solver.device, solver.A_df))
+    # CPU backend: stats dict must be well-formed (possibly empty)
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
