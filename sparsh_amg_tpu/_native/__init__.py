@@ -154,6 +154,16 @@ def get_lib():
             _ptr(np.float64), _ptr(np.int64), _ptr(np.int32),
             _ptr(np.float64),
         ]
+        lib.csr_transpose_f64.restype = None
+        lib.csr_transpose_f64.argtypes = [
+            _i64, _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+        ]
+        lib.csr_transpose_pattern.restype = None
+        lib.csr_transpose_pattern.argtypes = [
+            _i64, _i64, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.int64), _ptr(np.int32),
+        ]
         lib.rcm_order.restype = _i64
         lib.rcm_order.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int32),

@@ -58,7 +58,8 @@ def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
     hundreds of entries per row.
     """
     if R is None:
-        R = P.T.tocsr()
+        from .transpose import csr_transpose
+        R = csr_transpose(P)
     Ac = spgemm(R, spgemm(A, P))
     Ac.sum_duplicates()
     Ac.eliminate_zeros()

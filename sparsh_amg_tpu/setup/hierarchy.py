@@ -21,6 +21,7 @@ from .interp import (direct_interpolation, extpi_interpolation,
 from .aggregate import (greedy_aggregation, tentative_prolongator,
                         tentative_prolongator_nullspace, smooth_prolongator)
 from .galerkin import galerkin_product, spgemm
+from .transpose import csr_transpose
 
 
 @dataclasses.dataclass
@@ -135,7 +136,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
         if out is None:
             break
         P, cf, agg, B_c = out
-        R = P.T.tocsr()
+        R = csr_transpose(P)
         Ac = galerkin_product(levels[-1].A, P, R=R,
                               drop_tol=params.rap_drop_tol)
         # aggressive coarsening: compose a second coarsening round so the
@@ -148,7 +149,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
             out2 = _coarsen_once(Ac, params)
             if out2 is not None:
                 P2, _, _, _ = out2
-                R2 = P2.T.tocsr()
+                R2 = csr_transpose(P2)
                 P = spgemm(P, P2)
                 cf = None               # composed split has no single C/F
                 if params.interp_max_composed > 0:
@@ -158,7 +159,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                     # hierarchy stays variational wrt the stored P/R
                     from .interp import truncate_rows
                     P = truncate_rows(P, params.interp_max_composed)
-                    R = P.T.tocsr()
+                    R = csr_transpose(P)
                     Ac = galerkin_product(levels[-1].A, P, R=R,
                                           drop_tol=params.rap_drop_tol)
                 else:

@@ -17,9 +17,16 @@ FPT, CPT = 0, 1
 
 
 def _graph_arrays(S: sp.csr_matrix):
+    Sp = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    Si = np.ascontiguousarray(S.indices, dtype=np.int32)
+    if get_lib() is not None and S.nnz >= (1 << 16):
+        # pattern-only parallel transpose — scipy's serial .T.tocsr() on
+        # the 42M-edge fine strength graph was seconds per level
+        from .transpose import transpose_arrays
+        STp, STi, _ = transpose_arrays(S.shape[0], S.shape[1], Sp, Si)
+        return Sp, Si, STp, STi
     ST = S.T.tocsr()
-    return (np.ascontiguousarray(S.indptr, dtype=np.int64),
-            np.ascontiguousarray(S.indices, dtype=np.int32),
+    return (Sp, Si,
             np.ascontiguousarray(ST.indptr, dtype=np.int64),
             np.ascontiguousarray(ST.indices, dtype=np.int32))
 

@@ -276,3 +276,46 @@ def test_nullspace_tentative_prolongator_reproduces_B():
     # no zero columns survive (they would make Galerkin singular)
     col_nnz = np.diff(P.tocsc().indptr)
     assert col_nnz.min() > 0
+
+
+def test_csr_transpose_native_matches_scipy():
+    """Parallel native transpose == scipy .T.tocsr() (values, pattern,
+    sortedness) on rectangular matrices with empty rows/columns."""
+    import scipy.sparse as sp
+    from sparsh_amg_tpu.setup.transpose import csr_transpose
+    rng = np.random.default_rng(7)
+    for n, m in [(60, 31), (17, 200), (300, 300)]:
+        A = sp.random(n, m, density=0.07, random_state=rng, format="csr")
+        A.data = rng.standard_normal(A.nnz)
+        T = csr_transpose(A)
+        Tref = A.T.tocsr()
+        assert T.shape == (m, n)
+        assert (abs(T - Tref)).nnz == 0
+        assert T.has_sorted_indices
+    # large enough to take the native path (nnz >= 2^16)
+    A = sp.random(600, 500, density=0.25, random_state=rng,
+                  format="csr")
+    A.data = rng.standard_normal(A.nnz)
+    A = sp.vstack([A] * 2).tocsr()
+    T = csr_transpose(A)
+    assert (abs(T - A.T.tocsr())).nnz == 0
+    d = np.diff(T.indptr)
+    rows = np.repeat(np.arange(T.shape[0]), d)
+    inc = np.ones(T.nnz, bool)
+    inc[1:] = (np.diff(T.indices) > 0) | (np.diff(rows) != 0)
+    assert inc.all()   # rows strictly sorted
+
+
+def test_pmis_frontier_matches_python_oracle():
+    """The frontier-based native PMIS must produce the same split as the
+    full-scan python oracle (same per-round selection logic)."""
+    from sparsh_amg_tpu.setup.strength import classical_strength
+    from sparsh_amg_tpu.setup import splitting
+    from sparsh_amg_tpu.models.poisson import poisson2d
+    A = poisson2d(30).tocsr()
+    _, S = classical_strength(A, 0.25)
+    cf_nat = splitting.pmis_splitting(S)
+    Sp, Si, STp, STi = splitting._graph_arrays(S)
+    cf_py = splitting._pmis_python(S.shape[0], Sp, Si, STp, STi, 0,
+                                   np.empty(S.shape[0], np.int8))
+    assert (cf_nat == cf_py).all()
