@@ -66,7 +66,7 @@ def main():
         params = AMGParams(smoother="chebyshev", coarsening="pmis",
                            interpolation="extpi", interp_max=4,
                            rap_drop_tol=0.01, agg_levels=1,
-                           interp_max_composed=5,
+                           interp_max_composed=5, intermediate_drop_tol=0.02,
                            band_dtype="bfloat16", dense_size=8192,
                            cheby_degree_coarse=1, cheby_coarse_from=1)
         A = poisson3d(args.n)

@@ -957,6 +957,13 @@ void spgemm_numeric(int64_t n, int64_t m,
   }
 }
 
+// Parallel constant fill (np.ones/np.full fault fresh pages serially at
+// this VM's 0.1-1 GB/s; a parallel first-touch fill is ~4x).
+void fill_f32(int64_t n, float v, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) out[i] = v;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -52,6 +52,16 @@ class AMGParams:
                                        # interpolation the same way); cuts
                                        # the device transfer tables ~2x for
                                        # one extra host SpGEMM. 0 = off.
+    intermediate_drop_tol: float = 0.0 # drop tolerance for the THROWAWAY
+                                       # intermediate operator of an
+                                       # aggressive-coarsening step (it only
+                                       # seeds the second split + P2
+                                       # weights; the final operator is
+                                       # re-formed variationally from the
+                                       # fine A when interp_max_composed>0,
+                                       # so a harder filter here only
+                                       # perturbs interpolation weights).
+                                       # 0 = use rap_drop_tol.
     rap_drop_tol: float = 0.0          # drop coarse-operator entries with
                                        # |a_ij| < tol*sqrt(a_ii*a_jj), lumped
                                        # to the diagonal (ML-style filtering;

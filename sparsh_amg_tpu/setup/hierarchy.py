@@ -137,8 +137,18 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
             break
         P, cf, agg, B_c = out
         R = csr_transpose(P)
-        Ac = galerkin_product(levels[-1].A, P, R=R,
-                              drop_tol=params.rap_drop_tol)
+        # when this step composes two coarsenings AND re-forms the final
+        # operator from the fine A (interp_max_composed), the first RAP is
+        # a throwaway used only to seed the second split/interp — filter
+        # it harder (intermediate_drop_tol) to cut its SpGEMM + extpi cost
+        composing = (len(levels) <= params.agg_levels
+                     and params.coarsening in ("rs", "pmis", "hmis"))
+        drop = params.rap_drop_tol
+        if (composing and params.interp_max_composed > 0
+                and params.intermediate_drop_tol > 0.0):
+            drop = params.intermediate_drop_tol
+        Ac = galerkin_product(levels[-1].A, P, R=R, drop_tol=drop)
+        ac_is_throwaway = drop != params.rap_drop_tol
         # aggressive coarsening: compose a second coarsening round so the
         # intermediate grid never becomes a cycle level.  The Galerkin
         # operator is exactly the two-step one (A2 = P2^T (P1^T A P1) P2);
@@ -148,6 +158,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                 and Ac.shape[0] > params.coarse_size):
             out2 = _coarsen_once(Ac, params)
             if out2 is not None:
+                ac_is_throwaway = False  # Ac re-formed below
                 P2, _, _, _ = out2
                 R2 = csr_transpose(P2)
                 P = spgemm(P, P2)
@@ -170,6 +181,12 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                     R = spgemm(R2, R)
                     Ac = galerkin_product(Ac, P2, R=R2,
                                           drop_tol=params.rap_drop_tol)
+        if ac_is_throwaway:
+            # the second coarsening never happened (level small enough or
+            # stalled): the hard-filtered intermediate would become a real
+            # cycle level — rebuild it at the standard tolerance
+            Ac = galerkin_product(levels[-1].A, P, R=R,
+                                  drop_tol=params.rap_drop_tol)
         B = B_c
         levels[-1].P = P
         levels[-1].R = R
