@@ -964,6 +964,18 @@ void fill_f32(int64_t n, float v, float* out) {
   for (int64_t i = 0; i < n; ++i) out[i] = v;
 }
 
+// Row sums of |a_ij| (l1-Jacobi diagonal + Gershgorin lambda_max bound)
+// without np.abs(A)'s full-CSR copy (0.4 GB at 192^3).
+void abs_row_sum(int64_t n, const int64_t* indptr, const double* data,
+                 double* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double s = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) s += std::fabs(data[k]);
+    out[i] = s;
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

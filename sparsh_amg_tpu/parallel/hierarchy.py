@@ -25,7 +25,8 @@ import scipy.sparse as sp
 from ..params import AMGParams
 from ..ops import df64
 from ..setup.hierarchy import Hierarchy
-from ..solve.device import _lambda_max_dinv_a, dense_inverse, DeviceLevel
+from ..solve.device import (lambda_max_estimate, abs_row_sum,
+                            dense_inverse, DeviceLevel)
 from .partition import Partition
 from .dist import DistDia, DistEll, csr_to_dist, GatherOut, ReplSrc
 
@@ -164,11 +165,12 @@ def _replicated_level(lev, part: Partition, next_part: Partition | None,
     d = A.diagonal()
     dinv = np.zeros(L_pad)
     dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
-    absrow = np.asarray(np.abs(A).sum(axis=1)).ravel()
+    absrow = abs_row_sum(A)
     l1d = d + (absrow - np.abs(d))
     l1_dinv = np.zeros(L_pad)
     l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
-    lam = _lambda_max_dinv_a(A) if not is_coarsest or n > 1 else 1.0
+    lam = lambda_max_estimate(A, d, absrow, params.lambda_max) \
+        if not is_coarsest or n > 1 else 1.0
 
     P = R = coarse_inv = None
     if not is_coarsest:
@@ -258,10 +260,11 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
                             dense_size=params.dense_size)
         d = A.diagonal()
         dinv = _stack_vec(part, np.where(d != 0, 1.0 / d, 0.0), dtype)
-        absrow = np.asarray(np.abs(A).sum(axis=1)).ravel()
+        absrow = abs_row_sum(A)
         l1d = d + (absrow - np.abs(d))
         l1_dinv = _stack_vec(part, np.where(l1d != 0, 1.0 / l1d, 0.0), dtype)
-        lam = _lambda_max_dinv_a(A) if not is_coarsest or n > 1 else 1.0
+        lam = lambda_max_estimate(A, d, absrow, params.lambda_max) \
+            if not is_coarsest or n > 1 else 1.0
         lam_max = jnp.full((nd,), lam, dtype=dtype)
 
         P = R = coarse_inv = None

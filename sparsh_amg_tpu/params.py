@@ -76,6 +76,10 @@ class AMGParams:
     jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
     # --- solve phase ---
     smoother: str = "jacobi"           # jacobi | l1jacobi | chebyshev | gs2
+    lambda_max: str = "hybrid"         # Chebyshev lambda_max(D^-1 A) bound:
+                                       # hybrid (Gershgorin, refined by
+                                       # min(power,gersh) on levels <= 2^20
+                                       # rows) | power | gershgorin
     gs_stages: int = 2                 # inner Jacobi stages approximating the
                                        # triangular solve in two-stage GS
                                        # (PAPERS.md arXiv:2104.01196)

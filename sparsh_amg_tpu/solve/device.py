@@ -68,6 +68,50 @@ class DeviceHierarchy:
         return len(self.levels)
 
 
+def abs_row_sum(A: sp.csr_matrix) -> np.ndarray:
+    """Row sums of |a_ij| (l1 smoother diagonal, Gershgorin bound) without
+    np.abs(A)'s full-CSR copy."""
+    from .._native import get_lib, csr_arrays
+    lib = get_lib()
+    if lib is not None and A.nnz >= (1 << 16):
+        indptr, _, data = csr_arrays(A)
+        out = np.empty(A.shape[0], dtype=np.float64)
+        lib.abs_row_sum(A.shape[0], indptr, data, out)
+        return out
+    return np.asarray(np.abs(A).sum(axis=1)).ravel()
+
+
+# power iteration above this size costs host seconds (20 full sparse
+# matvecs); the free Gershgorin bound takes over in "hybrid" mode
+_POWER_MAX_N = 1 << 20
+
+
+def lambda_max_estimate(A: sp.csr_matrix, d: np.ndarray,
+                        absrow: np.ndarray, method: str = "hybrid") -> float:
+    """Upper bound on lambda_max(D^-1 A) for the Chebyshev window.
+
+    Gershgorin (max_i sum_j |a_ij| / |a_ii|) is a GUARANTEED upper bound —
+    the dangerous direction is undershoot (a window missing the top of the
+    spectrum: measured 416 instead of 10 PCG iterations at 96^3) — and is
+    free given the l1 row sums.  It is tight for FD stencils (2.000 vs
+    power's 2.039 on 5-pt Poisson) but ~1.3x loose on Q1 elasticity, so
+    "hybrid" refines small levels with min(power, gershgorin) and uses
+    pure Gershgorin only where the power iteration would cost host seconds
+    (n > 2^20; at the 100M north star it would be ~30-60 s)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratios = np.where(d != 0, absrow / np.abs(d), 0.0)
+    g = float(ratios.max()) if ratios.size else 1.0
+    if g <= 0.0 or not np.isfinite(g):
+        g = 1.0
+    if method == "gershgorin":
+        return g
+    if method == "power":
+        return _lambda_max_dinv_a(A)
+    if A.shape[0] <= _POWER_MAX_N:
+        return min(_lambda_max_dinv_a(A), g)
+    return g
+
+
 def _lambda_max_dinv_a(A: sp.csr_matrix, iters: int = 20,
                        seed: int = 0) -> float:
     """Host power iteration for lambda_max(D^-1 A) (Chebyshev upper bound).
@@ -129,13 +173,12 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         dinv = np.zeros(n_pad)
         dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
         # l1-Jacobi diagonal: a_ii + sum_j|a_ij| off-diagonal
-        absrow = np.abs(A).sum(axis=1).A1 if hasattr(
-            np.abs(A).sum(axis=1), "A1") else np.asarray(
-            np.abs(A).sum(axis=1)).ravel()
+        absrow = abs_row_sum(A)
         l1d = d + (absrow - np.abs(d))
         l1_dinv = np.zeros(n_pad)
         l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
-        lam = _lambda_max_dinv_a(A) if not is_coarsest or n > 1 else 1.0
+        lam = lambda_max_estimate(A, d, absrow, params.lambda_max) \
+            if not is_coarsest or n > 1 else 1.0
 
         P = R = coarse_inv = None
         if not is_coarsest:
