@@ -156,6 +156,11 @@ def get_lib():
         ]
         lib.fill_f32.restype = None
         lib.fill_f32.argtypes = [_i64, ctypes.c_float, _ptr(np.float32)]
+        lib.ell_fill_f32.restype = None
+        lib.ell_fill_f32.argtypes = [
+            _i64, _i64, _i64, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.float64), _ptr(np.int32), _ptr(np.float32),
+        ]
         lib.abs_row_sum.restype = None
         lib.abs_row_sum.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.float64), _ptr(np.float64),

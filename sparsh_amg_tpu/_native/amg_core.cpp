@@ -964,6 +964,35 @@ void fill_f32(int64_t n, float v, float* out) {
   for (int64_t i = 0; i < n; ++i) out[i] = v;
 }
 
+// Slot-major ELL fill: cols/vals are (K, n_pad) row-major arrays (slot k
+// contiguous over rows — the layout ops/formats.EllMatrix gathers with one
+// 2-D take).  numpy's cols[slot, rows] = ... fancy-index scatter took 11 s
+// for the 192^3 restriction operator; this fills block-by-block so writes
+// stay cache-resident, zero-padding included (parallel first-touch).
+void ell_fill_f32(int64_t n, int64_t n_pad, int64_t K,
+                  const int64_t* indptr, const int32_t* indices,
+                  const double* data, int32_t* cols, float* vals) {
+  const int64_t BLK = 4096;
+  const int64_t nblk = (n_pad + BLK - 1) / BLK;
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nblk; ++b) {
+    const int64_t r0 = b * BLK, r1 = std::min(n_pad, r0 + BLK);
+    for (int64_t k = 0; k < K; ++k) {
+      int32_t* c = cols + k * n_pad;
+      float* v = vals + k * n_pad;
+      for (int64_t r = r0; r < r1; ++r) {
+        if (r < n && k < indptr[r + 1] - indptr[r]) {
+          c[r] = indices[indptr[r] + k];
+          v[r] = (float)data[indptr[r] + k];
+        } else {
+          c[r] = 0;
+          v[r] = 0.0f;
+        }
+      }
+    }
+  }
+}
+
 // Row sums of |a_ij| (l1-Jacobi diagonal + Gershgorin lambda_max bound)
 // without np.abs(A)'s full-CSR copy (0.4 GB at 192^3).
 void abs_row_sum(int64_t n, const int64_t* indptr, const double* data,

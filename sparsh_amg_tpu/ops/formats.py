@@ -225,14 +225,25 @@ def csr_to_ell(A: sp.csr_matrix, dtype=jnp.float32,
     nnz_per_row = np.diff(A.indptr)
     K = max(int(nnz_per_row.max()) if n > 0 else 0, 1)
     n_pad = _round_up(max(n, 1), pad_multiple)
-    cols = np.zeros((K, n_pad), dtype=np.int32)
-    vals = np.zeros((K, n_pad), dtype=np.float64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
-    # slot index of each nnz within its row
-    slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
-        A.indptr[:-1].astype(np.int64), nnz_per_row)
-    cols[slot, rows] = A.indices
-    vals[slot, rows] = A.data
+    from .._native import get_lib, csr_arrays
+    lib = get_lib()
+    if lib is not None and A.nnz >= (1 << 16):
+        # block-tiled parallel fill — the numpy fancy-index scatter into
+        # the (K, n_pad) tables took 11 s for the 192^3 restriction
+        indptr, indices, data = csr_arrays(A)
+        cols = np.empty((K, n_pad), dtype=np.int32)
+        vals = np.empty((K, n_pad), dtype=np.float32)
+        lib.ell_fill_f32(n, n_pad, K, indptr, indices, data,
+                         cols.reshape(-1), vals.reshape(-1))
+    else:
+        cols = np.zeros((K, n_pad), dtype=np.int32)
+        vals = np.zeros((K, n_pad), dtype=np.float64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
+        # slot index of each nnz within its row
+        slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+            A.indptr[:-1].astype(np.int64), nnz_per_row)
+        cols[slot, rows] = A.indices
+        vals[slot, rows] = A.data
     return EllMatrix(cols=jnp.asarray(cols),
                      vals=jnp.asarray(vals, dtype=dtype),
                      n_rows=n, n_cols=m)
