@@ -876,13 +876,20 @@ int64_t rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
 }
 
 // ---------------------------------------------------------------------------
-// SpGEMM: C = A (n x k) * B (k x m), CSR, OpenMP row-parallel, dense
-// accumulator per thread (SURVEY.md C6: the setup-phase hot spot — Galerkin
-// RAP; scipy's single-threaded SpGEMM dominates setup time at n >= 10^7).
-// Two-phase: symbolic row counts, then numeric fill into preallocated
-// arrays.  Column order within a row follows first-touch (unsorted); the
-// caller (scipy csr_matrix) tolerates unsorted indices and sum_duplicates
-// is unnecessary because the accumulator already merges duplicates.
+// SpGEMM: C = A (n x k) * B (k x m), CSR, OpenMP row-parallel (SURVEY.md
+// C6: the setup-phase hot spot — Galerkin RAP; scipy's single-threaded
+// product dominates setup time at n >= 10^7).  Two-phase: symbolic row
+// counts, then numeric fill into preallocated arrays; rows come out
+// sorted and duplicate-free.
+//
+// Round-2 rewrite (this VM has 4 cores and small caches): the original
+// Gustavson dense per-thread accumulators (m-length mark/pos/acc arrays,
+// 17-35 MB per thread at m=2.2M) missed cache on every probe.  Symbolic
+// now marks an m-bit bitmap (m/8 bytes: 270 KB at 2.2M columns — L2-
+// resident) with a touched-list reset; numeric accumulates each row in an
+// L1-resident open-addressing hash sized from the row's (known) unique
+// count (Nagasaka/Matsuoka/Buluc-style hash SpGEMM).  Rows too dense for
+// a 2^21-slot hash fall back to a dense accumulator.
 // ---------------------------------------------------------------------------
 
 int64_t spgemm_symbolic(int64_t n, int64_t m,
@@ -890,30 +897,76 @@ int64_t spgemm_symbolic(int64_t n, int64_t m,
                         const int64_t* B_indptr, const int32_t* B_indices,
                         int64_t* C_indptr) {
   std::vector<int64_t> counts(n, 0);
+  const int64_t nwords = (m + 63) / 64;
 #pragma omp parallel
   {
-    std::vector<int32_t> mark(m, -1);
+    std::vector<uint64_t> bits(nwords, 0);
+    std::vector<int32_t> touched;
+    touched.reserve(1024);
 #pragma omp for schedule(dynamic, 64)
     for (int64_t i = 0; i < n; ++i) {
-      int64_t cnt = 0;
-      const int32_t im = (int32_t)i;
+      touched.clear();
       for (int64_t ka = A_indptr[i]; ka < A_indptr[i + 1]; ++ka) {
         const int32_t j = A_indices[ka];
         for (int64_t kb = B_indptr[j]; kb < B_indptr[j + 1]; ++kb) {
           const int32_t c = B_indices[kb];
-          if (mark[c] != im) {
-            mark[c] = im;
-            ++cnt;
+          uint64_t& w = bits[(uint32_t)c >> 6];
+          const uint64_t bit = 1ULL << (c & 63);
+          if (!(w & bit)) {
+            w |= bit;
+            touched.push_back(c);
           }
         }
       }
-      counts[i] = cnt;
+      counts[i] = (int64_t)touched.size();
+      for (const int32_t c : touched) bits[(uint32_t)c >> 6] = 0;
+      // clearing the whole word is safe: every set bit in it belongs to
+      // this row (the touched list covers all of them) — but a word may
+      // be cleared more than once, which is idempotent.
     }
   }
   C_indptr[0] = 0;
   for (int64_t i = 0; i < n; ++i) C_indptr[i + 1] = C_indptr[i] + counts[i];
   return C_indptr[n];
 }
+
+namespace {
+
+// dense-accumulator fallback for rows too wide for the L1 hash
+void spgemm_row_dense(int64_t i, int64_t m, const int64_t* A_indptr,
+                      const int32_t* A_indices, const double* A_data,
+                      const int64_t* B_indptr, const int32_t* B_indices,
+                      const double* B_data, const int64_t* C_indptr,
+                      int32_t* C_indices, double* C_data,
+                      std::vector<double>& acc, std::vector<uint8_t>& used) {
+  if ((int64_t)acc.size() < m) {
+    acc.assign(m, 0.0);
+    used.assign(m, 0);
+  }
+  const int64_t start = C_indptr[i];
+  int64_t cnt = 0;
+  for (int64_t ka = A_indptr[i]; ka < A_indptr[i + 1]; ++ka) {
+    const int32_t j = A_indices[ka];
+    const double va = A_data[ka];
+    for (int64_t kb = B_indptr[j]; kb < B_indptr[j + 1]; ++kb) {
+      const int32_t c = B_indices[kb];
+      if (!used[c]) {
+        used[c] = 1;
+        C_indices[start + cnt++] = c;
+        acc[c] = va * B_data[kb];
+      } else {
+        acc[c] += va * B_data[kb];
+      }
+    }
+  }
+  std::sort(C_indices + start, C_indices + start + cnt);
+  for (int64_t s = start; s < start + cnt; ++s) {
+    C_data[s] = acc[C_indices[s]];
+    used[C_indices[s]] = 0;
+  }
+}
+
+}  // namespace
 
 void spgemm_numeric(int64_t n, int64_t m,
                     const int64_t* A_indptr, const int32_t* A_indices,
@@ -922,36 +975,65 @@ void spgemm_numeric(int64_t n, int64_t m,
                     const double* B_data,
                     const int64_t* C_indptr, int32_t* C_indices,
                     double* C_data) {
+  // hash capacity: next pow2 >= 2x the widest row's unique count
+  int64_t max_cnt = 0;
+#pragma omp parallel for schedule(static) reduction(max : max_cnt)
+  for (int64_t i = 0; i < n; ++i)
+    max_cnt = std::max(max_cnt, C_indptr[i + 1] - C_indptr[i]);
+  int64_t cap = 16;
+  while (cap < 2 * max_cnt && cap < (1LL << 21)) cap <<= 1;
+  const bool hash_ok = cap >= 2 * max_cnt;
 #pragma omp parallel
   {
-    // pos is reset row-locally (below) so the newness test never depends
-    // on the order OpenMP hands out chunks — schedule(dynamic) is
-    // non-monotonic per the OpenMP 5.0 spec (ADVICE.md round 1)
-    std::vector<int64_t> pos(m, -1);   // column -> slot in current row
-    std::vector<double> acc(m, 0.0);
+    std::vector<int32_t> keys(hash_ok ? cap : 0, -1);
+    std::vector<double> hval(hash_ok ? cap : 0);
+    std::vector<double> acc;       // dense fallback, lazily sized
+    std::vector<uint8_t> used;
+    const uint64_t mask = (uint64_t)cap - 1;
 #pragma omp for schedule(dynamic, 64)
     for (int64_t i = 0; i < n; ++i) {
       const int64_t start = C_indptr[i];
+      const int64_t row_cnt = C_indptr[i + 1] - start;
+      if (!hash_ok && row_cnt > (1LL << 20)) {
+        spgemm_row_dense(i, m, A_indptr, A_indices, A_data, B_indptr,
+                         B_indices, B_data, C_indptr, C_indices, C_data,
+                         acc, used);
+        continue;
+      }
+      if (!hash_ok && keys.empty()) {
+        keys.assign(cap, -1);
+        hval.resize(cap);
+      }
       int64_t cnt = 0;
       for (int64_t ka = A_indptr[i]; ka < A_indptr[i + 1]; ++ka) {
         const int32_t j = A_indices[ka];
         const double va = A_data[ka];
         for (int64_t kb = B_indptr[j]; kb < B_indptr[j + 1]; ++kb) {
           const int32_t c = B_indices[kb];
-          if (pos[c] < 0) {            // not yet in this row
-            pos[c] = start + cnt;
-            C_indices[start + cnt] = c;
-            acc[c] = va * B_data[kb];
-            ++cnt;
-          } else {
-            acc[c] += va * B_data[kb];
+          uint64_t h = ((uint64_t)(uint32_t)c * 2654435761ULL) & mask;
+          for (;;) {
+            const int32_t k = keys[h];
+            if (k == c) {
+              hval[h] += va * B_data[kb];
+              break;
+            }
+            if (k < 0) {
+              keys[h] = c;
+              hval[h] = va * B_data[kb];
+              C_indices[start + cnt++] = c;
+              break;
+            }
+            h = (h + 1) & mask;
           }
         }
       }
       std::sort(C_indices + start, C_indices + start + cnt);
       for (int64_t s = start; s < start + cnt; ++s) {
-        C_data[s] = acc[C_indices[s]];
-        pos[C_indices[s]] = -1;        // row-local reset
+        const int32_t c = C_indices[s];
+        uint64_t h = ((uint64_t)(uint32_t)c * 2654435761ULL) & mask;
+        while (keys[h] != c) h = (h + 1) & mask;
+        C_data[s] = hval[h];
+        keys[h] = -1;
       }
     }
   }
@@ -991,6 +1073,18 @@ void ell_fill_f32(int64_t n, int64_t n_pad, int64_t K,
       }
     }
   }
+}
+
+// Parallel first-touch of fresh pages.  Measured on the deploy VM:
+// single-threaded first-touch runs at ~0.9 GB/s and a compute kernel
+// faulting its output as it writes sustains only ~0.2 GB/s effective,
+// while a dedicated 4-thread page-touch pass reaches ~3.2 GB/s — so big
+// np.empty outputs are prefaulted before the filling kernel runs.
+// (MADV_HUGEPAGE was measured at 17 MB/s on this kernel config — do NOT
+// switch this to hugepage hints.)
+void prefault(char* p, int64_t nbytes) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nbytes; i += 4096) p[i] = 0;
 }
 
 // Row sums of |a_ij| (l1-Jacobi diagonal + Gershgorin lambda_max bound)

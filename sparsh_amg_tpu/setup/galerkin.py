@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from .._native import get_lib, csr_arrays
+from .._native import get_lib, csr_arrays, empty_prefaulted
 
 
 def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
@@ -33,8 +33,8 @@ def spgemm(A: sp.csr_matrix, B: sp.csr_matrix) -> sp.csr_matrix:
     C_indptr = np.empty(n + 1, dtype=np.int64)
     nnz = lib.spgemm_symbolic(n, m, A_indptr, A_indices, B_indptr,
                               B_indices, C_indptr)
-    C_indices = np.empty(nnz, dtype=np.int32)
-    C_data = np.empty(nnz, dtype=np.float64)
+    C_indices = empty_prefaulted(nnz, np.int32)
+    C_data = empty_prefaulted(nnz, np.float64)
     lib.spgemm_numeric(n, m, A_indptr, A_indices, A_data,
                        B_indptr, B_indices, B_data,
                        C_indptr, C_indices, C_data)

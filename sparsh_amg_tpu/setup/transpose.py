@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from .._native import get_lib, csr_arrays
+from .._native import get_lib, csr_arrays, empty_prefaulted
 
 
 def transpose_arrays(n: int, m: int, indptr: np.ndarray,
@@ -23,12 +23,12 @@ def transpose_arrays(n: int, m: int, indptr: np.ndarray,
     lib = get_lib()
     nnz = int(indptr[-1])
     T_indptr = np.empty(m + 1, dtype=np.int64)
-    T_indices = np.empty(nnz, dtype=np.int32)
+    T_indices = empty_prefaulted(nnz, np.int32)
     if data is None:
         lib.csr_transpose_pattern(n, m, indptr, indices, T_indptr,
                                   T_indices)
         return T_indptr, T_indices, None
-    T_data = np.empty(nnz, dtype=np.float64)
+    T_data = empty_prefaulted(nnz, np.float64)
     lib.csr_transpose_f64(n, m, indptr, indices, data, T_indptr, T_indices,
                           T_data)
     return T_indptr, T_indices, T_data
