@@ -161,6 +161,19 @@ def get_lib():
             _i64, _i64, _i64, _ptr(np.int64), _ptr(np.int32),
             _ptr(np.float64), _ptr(np.int32), _ptr(np.float32),
         ]
+        lib.rap_fused_compute.restype = _i64
+        lib.rap_fused_compute.argtypes = [
+            _i64, _i64,
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+        ]
+        lib.rap_fused_extract.restype = _i64
+        lib.rap_fused_extract.argtypes = [_f64, _ptr(np.int64)]
+        lib.rap_fused_emit.restype = None
+        lib.rap_fused_emit.argtypes = [
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+        ]
         lib.prefault.restype = None
         lib.prefault.argtypes = [ctypes.c_void_p, _i64]
         lib.abs_row_sum.restype = None

@@ -1039,6 +1039,216 @@ void spgemm_numeric(int64_t n, int64_t m,
   }
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused Galerkin triple product C = R * A * P with the ML-style drop/lump
+// filter folded in (SURVEY.md §2 C13).  The two-SpGEMM route materializes
+// the A*P intermediate (76.6M nnz = 0.92 GB at 192^3; fresh-page faults
+// dominate this VM's setup time) and re-reads the unfiltered RAP for the
+// filter pass.  This kernel accumulates each coarse row's complete triple
+// sum in an L1-resident hash, stages rows in per-thread arenas (kept
+// allocated across calls so their pages stay faulted), and applies
+// |c_ij| < tol*sqrt(|c_ii c_jj|) with dropped mass lumped to the diagonal
+// during emission, once every diagonal is known.
+//
+// Three-call protocol (ctypes cannot return growable arrays); the caller
+// is single-threaded (Python GIL) and must run the calls in order:
+//   rap_fused_compute(...)            -> unfiltered nnz (rows staged)
+//   rap_fused_extract(tol, C_indptr)  -> filtered nnz   (indptr filled)
+//   rap_fused_emit(C_indptr, C_indices, C_data)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RapState {
+  int64_t nc = 0;
+  std::vector<std::vector<int32_t>> idx;  // per-thread staged entries
+  std::vector<std::vector<double>> val;
+  std::vector<int32_t> row_thread;
+  std::vector<int64_t> row_base;          // offset of row i in its arena
+  std::vector<int64_t> row_len;           // unfiltered length of row i
+  std::vector<double> diag_abs;           // |c_ii| (0 if absent)
+  double drop_tol = 0.0;
+};
+RapState g_rap;
+
+}  // namespace
+
+extern "C" {
+
+int64_t rap_fused_compute(int64_t nc, int64_t m,
+                          const int64_t* R_indptr, const int32_t* R_indices,
+                          const double* R_data,
+                          const int64_t* A_indptr, const int32_t* A_indices,
+                          const double* A_data,
+                          const int64_t* P_indptr, const int32_t* P_indices,
+                          const double* P_data) {
+  (void)m;
+  RapState& st = g_rap;
+  st.nc = nc;
+  const int nt = omp_get_max_threads();
+  if ((int)st.idx.size() != nt) {
+    st.idx.resize(nt);
+    st.val.resize(nt);
+  }
+  st.row_thread.resize(nc);
+  st.row_base.resize(nc);
+  st.row_len.resize(nc);
+  st.diag_abs.assign(nc, 0.0);
+  int64_t total = 0;
+#pragma omp parallel reduction(+ : total)
+  {
+    const int t = omp_get_thread_num();
+    auto& aidx = st.idx[t];
+    auto& aval = st.val[t];
+    aidx.clear();   // keeps capacity: arena pages stay faulted across calls
+    aval.clear();
+    int64_t cap = 256;
+    std::vector<int32_t> keys(cap, -1);
+    std::vector<double> hval(cap);
+    std::vector<int32_t> touched;
+    touched.reserve(256);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t i = 0; i < nc; ++i) {
+      touched.clear();
+      for (;;) {  // retry the row with a larger table on overflow
+        const uint64_t mask = (uint64_t)cap - 1;
+        bool overflow = false;
+        for (int64_t kr = R_indptr[i]; kr < R_indptr[i + 1] && !overflow;
+             ++kr) {
+          const int32_t j = R_indices[kr];
+          const double vr = R_data[kr];
+          for (int64_t ka = A_indptr[j]; ka < A_indptr[j + 1] && !overflow;
+               ++ka) {
+            const double vra = vr * A_data[ka];
+            const int32_t k = A_indices[ka];
+            for (int64_t kp = P_indptr[k]; kp < P_indptr[k + 1]; ++kp) {
+              const int32_t c = P_indices[kp];
+              uint64_t h = ((uint64_t)(uint32_t)c * 2654435761ULL) & mask;
+              for (;;) {
+                const int32_t key = keys[h];
+                if (key == c) {
+                  hval[h] += vra * P_data[kp];
+                  break;
+                }
+                if (key < 0) {
+                  if (2 * (int64_t)touched.size() >= cap) {
+                    overflow = true;
+                    break;
+                  }
+                  keys[h] = c;
+                  hval[h] = vra * P_data[kp];
+                  touched.push_back(c);
+                  break;
+                }
+                h = (h + 1) & mask;
+              }
+              if (overflow) break;
+            }
+          }
+        }
+        if (!overflow) break;
+        for (const int32_t c : touched) {
+          uint64_t h = ((uint64_t)(uint32_t)c * 2654435761ULL) & mask;
+          while (keys[h] != c) h = (h + 1) & mask;
+          keys[h] = -1;
+        }
+        touched.clear();
+        cap <<= 2;
+        keys.assign(cap, -1);
+        hval.resize(cap);
+      }
+      std::sort(touched.begin(), touched.end());
+      st.row_thread[i] = t;
+      st.row_base[i] = (int64_t)aidx.size();
+      st.row_len[i] = (int64_t)touched.size();
+      const uint64_t mask = (uint64_t)cap - 1;
+      for (const int32_t c : touched) {
+        uint64_t h = ((uint64_t)(uint32_t)c * 2654435761ULL) & mask;
+        while (keys[h] != c) h = (h + 1) & mask;
+        aidx.push_back(c);
+        aval.push_back(hval[h]);
+        if (c == (int32_t)i) st.diag_abs[i] = std::fabs(hval[h]);
+        keys[h] = -1;   // cleared during extraction: table empty for next row
+      }
+      total += st.row_len[i];
+    }
+  }
+  return total;
+}
+
+int64_t rap_fused_extract(double drop_tol, int64_t* C_indptr) {
+  RapState& st = g_rap;
+  st.drop_tol = drop_tol;
+  const int64_t nc = st.nc;
+  std::vector<int64_t> keep(nc);
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t i = 0; i < nc; ++i) {
+    const int64_t len = st.row_len[i];
+    if (drop_tol <= 0.0) {
+      keep[i] = len;
+      continue;
+    }
+    const int32_t* ci = st.idx[st.row_thread[i]].data() + st.row_base[i];
+    const double* cv = st.val[st.row_thread[i]].data() + st.row_base[i];
+    const double di = st.diag_abs[i];
+    int64_t k = 0;
+    for (int64_t s = 0; s < len; ++s)
+      if (ci[s] == (int32_t)i ||
+          std::fabs(cv[s]) >= drop_tol * std::sqrt(di * st.diag_abs[ci[s]]))
+        ++k;
+    keep[i] = k;
+  }
+  C_indptr[0] = 0;
+  for (int64_t i = 0; i < nc; ++i) C_indptr[i + 1] = C_indptr[i] + keep[i];
+  return C_indptr[nc];
+}
+
+void rap_fused_emit(const int64_t* C_indptr, int32_t* C_indices,
+                    double* C_data) {
+  RapState& st = g_rap;
+  const int64_t nc = st.nc;
+  const double drop_tol = st.drop_tol;
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t i = 0; i < nc; ++i) {
+    const int32_t* ci = st.idx[st.row_thread[i]].data() + st.row_base[i];
+    const double* cv = st.val[st.row_thread[i]].data() + st.row_base[i];
+    const int64_t len = st.row_len[i];
+    int64_t w = C_indptr[i];
+    if (drop_tol <= 0.0) {
+      for (int64_t s = 0; s < len; ++s) {
+        C_indices[w] = ci[s];
+        C_data[w++] = cv[s];
+      }
+      continue;
+    }
+    const double di = st.diag_abs[i];
+    double lump = 0.0;
+    int64_t diag_slot = -1;
+    for (int64_t s = 0; s < len; ++s) {
+      const int32_t c = ci[s];
+      if (c == (int32_t)i) {
+        diag_slot = w;
+        C_indices[w] = c;
+        C_data[w++] = cv[s];
+      } else if (std::fabs(cv[s]) >=
+                 drop_tol * std::sqrt(di * st.diag_abs[c])) {
+        C_indices[w] = c;
+        C_data[w++] = cv[s];
+      } else {
+        lump += cv[s];
+      }
+    }
+    if (diag_slot >= 0) C_data[diag_slot] += lump;
+  }
+  // row metadata freed; arenas keep their capacity (page reuse)
+  st.row_thread.clear();
+  st.row_base.clear();
+  st.row_len.clear();
+  st.diag_abs.clear();
+}
+
 // Parallel constant fill (np.ones/np.full fault fresh pages serially at
 // this VM's 0.1-1 GB/s; a parallel first-touch fill is ~4x).
 void fill_f32(int64_t n, float v, float* out) {

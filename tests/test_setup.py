@@ -319,3 +319,30 @@ def test_pmis_frontier_matches_python_oracle():
     cf_py = splitting._pmis_python(S.shape[0], Sp, Si, STp, STi, 0,
                                    np.empty(S.shape[0], np.int8))
     assert (cf_nat == cf_py).all()
+
+
+def test_fused_rap_matches_two_spgemm_path():
+    """rap_fused_* == spgemm(R, spgemm(A,P)) + rap_filter, bit-level up to
+    fp-summation order, for drop_tol 0 and > 0."""
+    import os
+    import scipy.sparse as sp
+    from sparsh_amg_tpu.models.poisson import poisson2d
+    from sparsh_amg_tpu.setup.strength import classical_strength
+    from sparsh_amg_tpu.setup.splitting import pmis_splitting
+    from sparsh_amg_tpu.setup.interp import (extpi_interpolation,
+                                             truncate_rows)
+    from sparsh_amg_tpu.setup.galerkin import galerkin_product
+    A = poisson2d(40).tocsr()
+    mask, S = classical_strength(A, 0.25)
+    cf = pmis_splitting(S)
+    P = truncate_rows(extpi_interpolation(A, mask, cf), 4)
+    for tol in (0.0, 0.02):
+        Ac1 = galerkin_product(A, P, drop_tol=tol)
+        os.environ["SPARSH_NO_FUSED_RAP"] = "1"
+        try:
+            Ac2 = galerkin_product(A, P, drop_tol=tol)
+        finally:
+            del os.environ["SPARSH_NO_FUSED_RAP"]
+        assert Ac1.shape == Ac2.shape and Ac1.nnz == Ac2.nnz
+        D = abs(Ac1 - Ac2)
+        assert D.nnz == 0 or D.max() < 1e-12 * abs(Ac2).max()
