@@ -144,23 +144,36 @@ def _ell_spmv(cols, vals, x, n_pad, unroll_max: int = 2):
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["mat"], meta_fields=["n_rows", "n_cols"])
+         data_fields=["mat"], meta_fields=["n_rows", "n_cols", "out_pad"])
 @dataclasses.dataclass(frozen=True)
 class DenseMatrix:
     """Densified small-level operator: spmv is an MXU matvec.  Coarse AMG
     levels lose all sparsity structure (SURVEY.md §6: RS coarse operators
     densify); below a size threshold a dense matmul is both faster and
-    compiles O(1) regardless of nnz/row."""
-    mat: jax.Array            # (n_pad, m_pad)
+    compiles O(1) regardless of nnz/row.
+
+    `mat` is padded TIGHT (multiples of 256, MXU-aligned) rather than to
+    the level vector length: level pads are multiples of 2048, and a
+    2048-padded square at a few-k rows is mostly zeros — e.g. a 4.2k-row
+    level padded to 6144^2 bf16 is 75 MB vs 37 MB tight, pure upload waste
+    on the 50 MB/s relay link.  spmv slices its input to mat's columns and
+    zero-pads its output back to `out_pad` (the level vector length); both
+    fuse with the surrounding elementwise ops."""
+    mat: jax.Array            # (r_pad, c_pad), tight 256-multiples
     n_rows: int
     n_cols: int
+    out_pad: int              # level vector length the spmv must emit
 
     @property
     def n_pad(self) -> int:
-        return self.mat.shape[0]
+        return self.out_pad
 
     def spmv(self, x: jax.Array) -> jax.Array:
-        return jnp.dot(self.mat, x, preferred_element_type=x.dtype)
+        r, c = self.mat.shape
+        y = jnp.dot(self.mat, x[:c], preferred_element_type=x.dtype)
+        if self.out_pad > r:
+            y = jnp.pad(y, (0, self.out_pad - r))
+        return y
 
 
 def spmv(A, x: jax.Array) -> jax.Array:
@@ -250,16 +263,29 @@ def csr_to_ell(A: sp.csr_matrix, dtype=jnp.float32,
 
 
 def csr_to_dense(A: sp.csr_matrix, dtype=jnp.float32,
-                 pad_multiple: int = 128) -> DenseMatrix:
+                 pad_multiple: int = 128,
+                 out_pad: int | None = None,
+                 in_pad: int | None = None) -> DenseMatrix:
+    """mat stays tight (256-multiples); `out_pad` (default: n rounded to
+    pad_multiple) is the level vector length spmv emits.  `in_pad`, when
+    given, caps the column pad at the SOURCE vector's length (level pads
+    from the distributed Partition can be smaller than the 256 round-up,
+    e.g. 384 for a ~300-row level on 8 shards — slicing x[:512] of a
+    384-long vector would silently truncate the dot)."""
     n, m = A.shape
-    np_, mp_ = _round_up(max(n, 1), pad_multiple), _round_up(max(m, 1),
-                                                             pad_multiple)
+    if out_pad is None:
+        out_pad = _round_up(max(n, 1), pad_multiple)
+    tight = min(pad_multiple, 256)
+    np_, mp_ = _round_up(max(n, 1), tight), _round_up(max(m, 1), tight)
+    np_ = min(np_, out_pad)
+    if in_pad is not None:
+        mp_ = min(mp_, in_pad)
     # fill float32 directly — toarray() would materialize an f64 square
     # (3.5 GB at 21k rows) before the cast
     dense = np.zeros((np_, mp_), dtype=np.float32)
     dense[:n, :m] = A.astype(np.float32).toarray()
     return DenseMatrix(mat=jnp.asarray(dense, dtype=dtype), n_rows=n,
-                       n_cols=m)
+                       n_cols=m, out_pad=out_pad)
 
 
 def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
@@ -274,7 +300,8 @@ def csr_to_device(A: sp.csr_matrix, dtype=jnp.float32, prefer_dia: bool = True,
     """
     n, m = A.shape
     if dense_size and n <= dense_size and m <= dense_size:
-        return csr_to_dense(A, dtype, pad_multiple)
+        return csr_to_dense(A, dtype, pad_multiple,
+                            in_pad=_round_up(max(m, 1), pad_multiple))
     if prefer_dia and n == m and A.nnz > 0:
         from .._native import get_lib, csr_arrays
         lib = get_lib()

@@ -439,11 +439,19 @@ def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
     else:
         wwords = windows.astype(np.int32)
     LANE_ = LANE
+    packed = packed.reshape(n_tiles, TR, LANE_)
+    if S <= 64:
+        # sel<<10|q<<7|lane < 65536 when S <= 64: upload HALF the bytes
+        # (uint16) and zero-extend to int32 on device — packed tables are
+        # the largest int arrays of the hierarchy and the H2D link is the
+        # setup bottleneck (50 MB/s through the relay)
+        packed_dev = jnp.asarray(packed.astype(np.uint16)).astype(jnp.int32)
+    else:
+        packed_dev = jnp.asarray(packed, dtype=jnp.int32)
     return GellMatrix(
         wwords=jnp.asarray(wwords, dtype=jnp.int32),
         counts=jnp.asarray(counts, dtype=jnp.int32),
-        packed=jnp.asarray(packed.reshape(n_tiles, TR, LANE_),
-                           dtype=jnp.int32),
+        packed=packed_dev,
         vals=jnp.asarray(vals_np.reshape(n_tiles, TR, LANE_)),
         n_rows=n, n_cols=m, k=K, s=S, tr=TR, wmode=wmode,
         src_pad=src_pad, n_pad=n_pad)

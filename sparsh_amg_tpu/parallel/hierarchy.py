@@ -153,7 +153,7 @@ def _replicated_level(lev, part: Partition, next_part: Partition | None,
     the TPU-native form of the reference's 'gather small coarse grids onto
     fewer processors' (C24).  Vector length == part.n_pad so the
     GatherOut all_gather at the boundary lines up exactly."""
-    from ..ops.formats import csr_to_device, csr_to_ell, DenseMatrix
+    from ..ops.formats import csr_to_device, csr_to_ell
     import jax.tree as jtree
     A = lev.A
     n = A.shape[0]
@@ -177,15 +177,12 @@ def _replicated_level(lev, part: Partition, next_part: Partition | None,
         nc = lev.P.shape[1]
         M_pad = next_part.n_pad
         if max(n, nc) <= params.dense_size:
-            # dense blocks need row/col pads matching both levels' lengths
-            Pm = np.zeros((L_pad, M_pad), dtype=np.float32)
-            Pm[:n, :nc] = lev.P.astype(np.float32).toarray()
-            Rm = np.zeros((M_pad, L_pad), dtype=np.float32)
-            Rm[:nc, :n] = lev.R.astype(np.float32).toarray()
-            P = DenseMatrix(mat=jnp.asarray(Pm, dtype=bdtype),
-                            n_rows=n, n_cols=nc)
-            R = DenseMatrix(mat=jnp.asarray(Rm, dtype=bdtype),
-                            n_rows=nc, n_cols=n)
+            from ..ops.formats import csr_to_dense
+            # tight dense blocks; spmv re-pads to the level vector lengths
+            P = csr_to_dense(lev.P.tocsr(), dtype=bdtype, out_pad=L_pad,
+                             in_pad=M_pad)
+            R = csr_to_dense(lev.R.tocsr(), dtype=bdtype, out_pad=M_pad,
+                             in_pad=L_pad)
         else:
             # replicated transfers run shard-local: the GELL Pallas
             # window-gather beats the XLA ELL gather here too
@@ -199,7 +196,10 @@ def _replicated_level(lev, part: Partition, next_part: Partition | None,
             if R is None:
                 R = csr_to_ell(lev.R, dtype=bdtype, pad_multiple=M_pad)
     elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
-        dense = np.zeros((L_pad, L_pad), dtype=np.float32)
+        # tight 256-pad (not L_pad); DeviceLevel.coarse_solve slices/pads
+        from ..ops.formats import _round_up
+        r = min(_round_up(max(n, 1), 256), L_pad)
+        dense = np.zeros((r, r), dtype=np.float32)
         dense[:n, :n] = dense_inverse(A, params.coarse_solver)
         coarse_inv = jnp.asarray(dense, dtype=dtype)
 

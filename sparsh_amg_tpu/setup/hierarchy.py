@@ -67,11 +67,25 @@ class Hierarchy:
                 + "\n".join(rows))
 
 
+def _tick(label: str, t0: float) -> float:
+    """Env-gated stage timer (SPARSH_SETUP_PROFILE=1): prints '# setup
+    <label>: <dt>' lines so host-setup hot spots are measurable in place."""
+    import os
+    import time
+    t1 = time.perf_counter()
+    if os.environ.get("SPARSH_SETUP_PROFILE"):
+        print(f"# setup {label}: {t1 - t0:.3f}s", flush=True)
+    return t1
+
+
 def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
                   B: np.ndarray | None = None):
     """One setup step: returns (P, cf, agg, B_coarse) or None on stall."""
+    import time
+    t = time.perf_counter()
     if params.coarsening in ("rs", "pmis", "hmis"):
         strong_mask, S = classical_strength(A, params.theta)
+        t = _tick(f"strength(n={A.shape[0]})", t)
         if params.coarsening == "rs":
             cf = rs_splitting(S)
         elif params.coarsening == "hmis":
@@ -81,6 +95,7 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
             cf = rs_splitting(S, second_pass=False)
         else:
             cf = pmis_splitting(S)
+        t = _tick("splitting", t)
         n_c = int((cf == 1).sum())
         if n_c == 0 or n_c >= A.shape[0]:
             return None
@@ -88,7 +103,9 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
             P = extpi_interpolation(A, strong_mask, cf)
         else:
             P = direct_interpolation(A, strong_mask, cf)
+        t = _tick("interp", t)
         P = truncate_rows(P, params.interp_max)
+        _tick("truncate", t)
         return P, cf, None, None
     elif params.coarsening == "aggregation":
         strong_mask, S = symmetric_strength(A, params.agg_theta)
@@ -136,7 +153,10 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
         if out is None:
             break
         P, cf, agg, B_c = out
+        import time
+        t = time.perf_counter()
         R = csr_transpose(P)
+        t = _tick("transpose", t)
         # when this step composes two coarsenings AND re-forms the final
         # operator from the fine A (interp_max_composed), the first RAP is
         # a throwaway used only to seed the second split/interp — filter
@@ -148,6 +168,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                 and params.intermediate_drop_tol > 0.0):
             drop = params.intermediate_drop_tol
         Ac = galerkin_product(levels[-1].A, P, R=R, drop_tol=drop)
+        t = _tick("rap", t)
         ac_is_throwaway = drop != params.rap_drop_tol
         # aggressive coarsening: compose a second coarsening round so the
         # intermediate grid never becomes a cycle level.  The Galerkin
@@ -157,6 +178,7 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                 and params.coarsening in ("rs", "pmis", "hmis")
                 and Ac.shape[0] > params.coarse_size):
             out2 = _coarsen_once(Ac, params)
+            t = _tick("coarsen2", t)
             if out2 is not None:
                 ac_is_throwaway = False  # Ac re-formed below
                 P2, _, _, _ = out2
@@ -171,8 +193,10 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                     from .interp import truncate_rows
                     P = truncate_rows(P, params.interp_max_composed)
                     R = csr_transpose(P)
+                    t = _tick("compose_truncate", t)
                     Ac = galerkin_product(levels[-1].A, P, R=R,
                                           drop_tol=params.rap_drop_tol)
+                    t = _tick("rap_composed", t)
                 else:
                     # (P1 P2)^T as a parallel product of the two
                     # transposes — transposing the composed fine-level P

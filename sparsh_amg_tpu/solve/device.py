@@ -49,12 +49,20 @@ class DeviceLevel:
         """Dense inverse applied on the MXU (reference: LAPACK LU on the
         coarsest level, SURVEY.md C17).  When no inverse was built
         (coarse_solver='smooth', or stalled coarsening left the level too
-        large), fall back to params.coarse_smooth_sweeps of l1-Jacobi."""
+        large), fall back to params.coarse_smooth_sweeps of l1-Jacobi.
+
+        The inverse is stored TIGHT (256-padded, not the level's 2048
+        vector pad): a 1.1k-row coarsest level padded to 2048^2 fp32 is
+        16.8 MB of upload vs 5.3 MB tight.  Slice in, pad out."""
         if self.coarse_inv is None:
             from .smoothers import l1_jacobi
             return l1_jacobi(self, b, jnp.zeros_like(b),
                              sweeps=self.coarse_sweeps, zero_start=True)
-        return jnp.dot(self.coarse_inv, b, preferred_element_type=b.dtype)
+        r = self.coarse_inv.shape[-1]
+        y = jnp.dot(self.coarse_inv, b[:r], preferred_element_type=b.dtype)
+        if b.shape[0] > r:
+            y = jnp.pad(y, (0, b.shape[0] - r))
+        return y
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -82,8 +90,12 @@ def abs_row_sum(A: sp.csr_matrix) -> np.ndarray:
 
 
 # power iteration above this size costs host seconds (20 full sparse
-# matvecs); the free Gershgorin bound takes over in "hybrid" mode
-_POWER_MAX_N = 1 << 20
+# matvecs — ~1.5 GB of host traffic at 884k rows, 2-3 s on this VM); the
+# free Gershgorin bound takes over in "hybrid" mode.  Gershgorin is a
+# GUARANTEED upper bound (the safe direction for the Chebyshev window)
+# and tight for stencil operators; only sub-128k levels — where power
+# costs milliseconds — refine it
+_POWER_MAX_N = 1 << 17
 
 
 def lambda_max_estimate(A: sp.csr_matrix, d: np.ndarray,
@@ -152,7 +164,12 @@ def dense_inverse(A: sp.csr_matrix, method: str = "lu") -> np.ndarray:
 
 
 def to_device(hier: Hierarchy, params: AMGParams | None = None,
-              dtype=None) -> DeviceHierarchy:
+              dtype=None, fine_hi=None) -> DeviceHierarchy:
+    """fine_hi: optionally the already-uploaded fp32 fine-level DiaMatrix
+    (the df64 refinement operator's hi half).  When its layout matches
+    what csr_to_device would build, the fine band_dtype operator is
+    DERIVED ON DEVICE by casting those bands instead of uploading a
+    second copy of the largest matrix (2 B/nnz saved on the H2D link)."""
     params = params or hier.params
     dtype = dtype or jnp.dtype(params.dtype)
     bdtype = jnp.dtype(params.band_dtype)
@@ -164,10 +181,21 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         # pad to 8*128: the Pallas DIA kernel tiles sublane rows in
         # multiples of 8 (16 for bf16), so every level's n_pad must divide
         # into 16-row tiles (2048 = 16 sublanes x 128 lanes)
-        dev_A = csr_to_device(A, dtype=bdtype, prefer_dia=params.prefer_dia,
-                              dia_max_bands=params.dia_max_bands,
-                              dense_size=params.dense_size,
-                              pad_multiple=2048, prefer_gell=True)
+        from ..ops.formats import DiaMatrix
+        if (li == 0 and isinstance(fine_hi, DiaMatrix)
+                and fine_hi.n_rows == n and not is_coarsest
+                and n > params.dense_size
+                and fine_hi.n_pad == _round_up(max(n, 1), 2048)):
+            dev_A = fine_hi if fine_hi.bands.dtype == bdtype else \
+                dataclasses.replace(
+                    fine_hi, bands=jax.jit(
+                        lambda b: b.astype(bdtype))(fine_hi.bands))
+        else:
+            dev_A = csr_to_device(A, dtype=bdtype,
+                                  prefer_dia=params.prefer_dia,
+                                  dia_max_bands=params.dia_max_bands,
+                                  dense_size=params.dense_size,
+                                  pad_multiple=2048, prefer_gell=True)
         n_pad = dev_A.n_pad
         d = A.diagonal()
         dinv = np.zeros(n_pad)
@@ -204,7 +232,8 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                 # shapes line up with the level vectors.
                 assert P.n_pad >= n and R.n_pad >= nc
         elif n <= params.coarse_inv_max and params.coarse_solver != "smooth":
-            dense = np.zeros((n_pad, n_pad), dtype=np.float32)
+            r = min(_round_up(max(n, 1), 256), n_pad)
+            dense = np.zeros((r, r), dtype=np.float32)
             dense[:n, :n] = dense_inverse(A, params.coarse_solver)
             # fp32 always (NOT band_dtype): a bf16 inverse is an 8-bit-
             # mantissa coarse solve — measurably weaker as the cycle's

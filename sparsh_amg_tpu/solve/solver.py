@@ -83,11 +83,14 @@ class AMGSolver:
         # solver instances — the reference rebuilds per run (SURVEY §5.4)
         self.hierarchy: Hierarchy = hierarchy or amg_setup(
             A, self.params, nullspace=nullspace)
-        self.device: DeviceHierarchy = to_device(self.hierarchy, self.params)
-        self.n_pad = self.device.levels[0].n_pad
-        # df64 fine-level operator for refinement residuals
+        # df64 fine-level operator for refinement residuals; built FIRST so
+        # to_device can derive the band_dtype fine operator by casting its
+        # fp32 bands on device instead of uploading the matrix twice
         self.A_df = csr_to_df64(A, prefer_dia=self.params.prefer_dia,
                                 dia_max_bands=self.params.dia_max_bands)
+        self.device: DeviceHierarchy = to_device(self.hierarchy, self.params,
+                                                 fine_hi=self.A_df.A_hi)
+        self.n_pad = self.device.levels[0].n_pad
         self._build_jitted()
         self.setup_time = time.perf_counter() - t0
 
