@@ -46,7 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cycle", default="V", choices=["V", "W", "F"])
     p.add_argument("--nu1", type=int, default=1)
     p.add_argument("--nu2", type=int, default=1)
-    p.add_argument("--krylov", default="cg", choices=["cg", "bicgstab"])
+    p.add_argument("--krylov", default="cg",
+                   choices=["cg", "bicgstab", "amg"],
+                   help="amg = standalone cycle iteration (no Krylov)")
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--maxiter", type=int, default=500)
     p.add_argument("--no-refine", action="store_true")

@@ -24,7 +24,7 @@ from ..params import AMGParams, KrylovParams
 from ..setup.hierarchy import amg_setup, Hierarchy
 from ..ops import df64
 from ..solve.cycles import make_cycle
-from ..solve.krylov import pcg, bicgstab
+from ..solve.krylov import pcg, bicgstab, stationary
 from ..solve.solver import SolveResult
 from .dist import pdot
 from .hierarchy import to_dist, fine_df64, local, DistHierarchy
@@ -88,7 +88,8 @@ class DistAMGSolver:
     def _build_jitted(self):
         cycle = make_cycle(self.params)
         kr = self.krylov
-        inner = pcg if kr.method == "cg" else bicgstab
+        inner = {"cg": pcg, "bicgstab": bicgstab,
+                 "amg": stationary}[kr.method]
         mesh, axis = self.mesh, self.axis
         Pr, Pn = P(axis), P()
 
@@ -122,10 +123,13 @@ class DistAMGSolver:
         # pattern; chunk of fori iterations per dispatch, convergence read
         # back on host) -------------------------------------------------
         from ..solve.krylov import (pcg_init, pcg_step, bicgstab_init,
-                                    bicgstab_step)
-        is_cg = kr.method == "cg"
-        n_vec = 4                       # state[0:4] are vectors in both methods
-        n_state = 7 if is_cg else 10
+                                    bicgstab_step, stationary_init,
+                                    stationary_step)
+        method = kr.method
+
+        # vector / state counts per method (stationary: x, r, rr, k)
+        n_vec = {"cg": 4, "bicgstab": 4, "amg": 2}[method]
+        n_state = {"cg": 7, "bicgstab": 10, "amg": 4}[method]
         st_specs = tuple(Pr if i < n_vec else Pn for i in range(n_state))
 
         def _mk(levels_s, Adf_s):
@@ -148,8 +152,12 @@ class DistAMGSolver:
             def body(levels_s, Adf_s, b_s):
                 mv, pc, dotf = _mk(levels_s, Adf_s)
                 b = b_s[0]
-                st = (pcg_init(mv, pc, b, dotf) if is_cg
-                      else bicgstab_init(mv, b, dotf))
+                if method == "cg":
+                    st = pcg_init(mv, pc, b, dotf)
+                elif method == "amg":
+                    st = stationary_init(mv, pc, b, dotf)
+                else:
+                    st = bicgstab_init(mv, b, dotf)
                 return _stack(st)
             return shmap(body, (Pr, Pr, Pr), st_specs)(
                 levels_st, Adf_st, b_st)
@@ -160,8 +168,10 @@ class DistAMGSolver:
                 st = _squeeze(st)
                 # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
                 for _ in range(kr.chunk):
-                    if is_cg:
+                    if method == "cg":
                         st = pcg_step(mv, pc, dotf, st)
+                    elif method == "amg":
+                        st = stationary_step(mv, pc, dotf, st)
                     else:
                         st = bicgstab_step(mv, pc, dotf, rhat_s[0], st)
                 return _stack(st)
@@ -238,8 +248,8 @@ class DistAMGSolver:
             x, it, rel = self._inner_solve_dev(levels, self.A_df, b_st, tol,
                                                kr.maxiter)
             return x, int(it), float(rel)
-        is_cg = kr.method == "cg"
-        i_rr, i_k = (5, 6) if is_cg else (7, 8)
+        i_rr, i_k = {"cg": (5, 6), "bicgstab": (7, 8),
+                     "amg": (2, 3)}[kr.method]
         state = self._kr_init(levels, self.A_df, b_st)
         rr0 = float(state[i_rr])
         if rr0 == 0.0:
@@ -253,7 +263,7 @@ class DistAMGSolver:
             iters = int(state[i_k])
             if rr <= target or not np.isfinite(rr):
                 break
-            if not is_cg and bool(state[9]):
+            if kr.method == "bicgstab" and bool(state[9]):
                 break
         return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
 

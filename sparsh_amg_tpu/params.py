@@ -142,7 +142,8 @@ class AMGParams:
 class KrylovParams:
     """Outer Krylov solve controls (reference: solve() argv flags)."""
 
-    method: str = "cg"                 # cg | bicgstab
+    method: str = "cg"                 # cg | bicgstab | amg (standalone
+                                       # cycle iteration, no Krylov)
     tol: float = 1e-8                  # relative residual target
     maxiter: int = 500
     # Iteration-loop placement (SURVEY.md §3.1): "device" runs the whole

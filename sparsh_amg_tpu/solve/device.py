@@ -98,6 +98,23 @@ def abs_row_sum(A: sp.csr_matrix) -> np.ndarray:
 _POWER_MAX_N = 1 << 17
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("diag_idx",))
+def _dia_diag_stats(bands, diag_idx: int):
+    """Smoother diagonals + Gershgorin bound from fp32 DIA bands, computed
+    on device (padding rows have all-zero bands -> dinv/l1_dinv 0 there,
+    matching the host construction)."""
+    d = bands[diag_idx]
+    absrow = jnp.sum(jnp.abs(bands), axis=0)
+    dinv = jnp.where(d != 0, 1.0 / d, 0.0)
+    l1 = d + (absrow - jnp.abs(d))
+    l1_dinv = jnp.where(l1 != 0, 1.0 / l1, 0.0)
+    lam = jnp.max(jnp.where(d != 0, absrow / jnp.abs(d), 0.0))
+    return dinv, l1_dinv, jnp.maximum(lam, 1e-30)
+
+
 def lambda_max_estimate(A: sp.csr_matrix, d: np.ndarray,
                         absrow: np.ndarray, method: str = "hybrid") -> float:
     """Upper bound on lambda_max(D^-1 A) for the Chebyshev window.
@@ -182,10 +199,11 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
         # multiples of 8 (16 for bf16), so every level's n_pad must divide
         # into 16-row tiles (2048 = 16 sublanes x 128 lanes)
         from ..ops.formats import DiaMatrix
-        if (li == 0 and isinstance(fine_hi, DiaMatrix)
-                and fine_hi.n_rows == n and not is_coarsest
-                and n > params.dense_size
-                and fine_hi.n_pad == _round_up(max(n, 1), 2048)):
+        fine_reuse = (li == 0 and isinstance(fine_hi, DiaMatrix)
+                      and fine_hi.n_rows == n and not is_coarsest
+                      and n > params.dense_size
+                      and fine_hi.n_pad == _round_up(max(n, 1), 2048))
+        if fine_reuse:
             dev_A = fine_hi if fine_hi.bands.dtype == bdtype else \
                 dataclasses.replace(
                     fine_hi, bands=jax.jit(
@@ -197,16 +215,28 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                                   dense_size=params.dense_size,
                                   pad_multiple=2048, prefer_gell=True)
         n_pad = dev_A.n_pad
-        d = A.diagonal()
-        dinv = np.zeros(n_pad)
-        dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
-        # l1-Jacobi diagonal: a_ii + sum_j|a_ij| off-diagonal
-        absrow = abs_row_sum(A)
-        l1d = d + (absrow - np.abs(d))
-        l1_dinv = np.zeros(n_pad)
-        l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
-        lam = lambda_max_estimate(A, d, absrow, params.lambda_max) \
-            if not is_coarsest or n > 1 else 1.0
+        if (fine_reuse and 0 in fine_hi.offsets and n > _POWER_MAX_N
+                and params.lambda_max != "power"
+                and jnp.dtype(params.dtype) == jnp.float32):
+            # derive the smoother diagonals + Gershgorin lambda_max ON
+            # DEVICE from the already-uploaded fp32 bands: saves 8 B/row
+            # of upload and the host abs-row-sum pass; above _POWER_MAX_N
+            # the hybrid estimate is pure Gershgorin anyway
+            dinv_j, l1_dinv_j, lam = _dia_diag_stats(
+                fine_hi.bands, fine_hi.offsets.index(0))
+        else:
+            d = A.diagonal()
+            dinv = np.zeros(n_pad)
+            dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
+            # l1-Jacobi diagonal: a_ii + sum_j|a_ij| off-diagonal
+            absrow = abs_row_sum(A)
+            l1d = d + (absrow - np.abs(d))
+            l1_dinv = np.zeros(n_pad)
+            l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
+            lam = lambda_max_estimate(A, d, absrow, params.lambda_max) \
+                if not is_coarsest or n > 1 else 1.0
+            dinv_j = jnp.asarray(dinv, dtype=dtype)
+            l1_dinv_j = jnp.asarray(l1_dinv, dtype=dtype)
 
         P = R = coarse_inv = None
         if not is_coarsest:
@@ -251,8 +281,8 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
 
         levels.append(DeviceLevel(
             A=dev_A,
-            dinv=jnp.asarray(dinv, dtype=dtype),
-            l1_dinv=jnp.asarray(l1_dinv, dtype=dtype),
+            dinv=dinv_j,
+            l1_dinv=l1_dinv_j,
             lam_max=jnp.asarray(lam, dtype=dtype),
             P=P, R=R, coarse_inv=coarse_inv, L=L, U=U, n=n,
             coarse_sweeps=params.coarse_smooth_sweeps,

@@ -187,3 +187,48 @@ def bicgstab_chunk(matvec, precond, chunk: int, compensated: bool = False,
         return state
 
     return init_fn, chunk_fn
+
+
+# ---------------------------------------------------------------------------
+# Stationary AMG iteration (no Krylov acceleration)
+# ---------------------------------------------------------------------------
+
+def stationary_init(matvec, precond, b, _dot, x0=None):
+    """State: (x, r, ||r||^2, k) — the classical standalone multigrid
+    solve x += M^-1 r (the reference's L4 cycle driver used directly,
+    SURVEY.md §3.3, before any Krylov wrapper)."""
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - matvec(x0)
+    return (x, r, _dot(r, r), jnp.int32(0))
+
+
+def stationary_step(matvec, precond, _dot, state):
+    x, r, rr, k = state
+    e = precond(r)
+    x = x + e
+    r = r - matvec(e)       # one matvec per iteration (incremental residual)
+    return (x, r, _dot(r, r), k + 1)
+
+
+def stationary(matvec, precond, b, tol: float, maxiter: int, x0=None,
+               compensated: bool = False, dot_fn=None):
+    """Device-mode standalone AMG solve: cycle until ||r||/||b|| <= tol.
+    Same (x, iters, relres) contract as pcg/bicgstab, so the solver's
+    refinement driver and loop modes work unchanged."""
+    _dot = _mkdot(dot_fn, compensated)
+    state = stationary_init(matvec, precond, b, _dot, x0)
+    bb = _dot(b, b)
+    tol2bb = (tol * tol) * bb
+
+    def cond(st):
+        return jnp.logical_and(st[3] < maxiter, st[2] > tol2bb)
+
+    state = jax.lax.while_loop(
+        cond, lambda st: stationary_step(matvec, precond, _dot, st), state)
+    x, r, rr, k = state
+    relres = jnp.sqrt(rr / jnp.where(bb != 0, bb, 1.0))
+    return x, k, relres

@@ -26,8 +26,9 @@ from ..ops.formats import spmv
 from ..ops.df64_ops import csr_to_df64, residual_df64
 from .device import to_device, DeviceHierarchy
 from .cycles import make_cycle
-from .krylov import (pcg, bicgstab, pcg_init, pcg_step, bicgstab_init,
-                     bicgstab_step)
+from .krylov import (pcg, bicgstab, stationary, pcg_init, pcg_step,
+                     bicgstab_init, bicgstab_step, stationary_init,
+                     stationary_step)
 from ..ops.blas import dot as _blas_dot
 from ..utils.logging import get_logger, iteration_log
 
@@ -105,8 +106,11 @@ class AMGSolver:
     def _build_jitted(self):
         cycle = make_cycle(self.params)
         kr = self.krylov
-        is_cg = kr.method == "cg"
-        inner = pcg if is_cg else bicgstab
+        method = kr.method
+        # "amg" = standalone cycle iteration (no Krylov acceleration) —
+        # the reference's plain multigrid solve mode
+        inner = {"cg": pcg, "bicgstab": bicgstab,
+                 "amg": stationary}[method]
         _dot = lambda a, b: _blas_dot(a, b, compensated=kr.compensated_dots)
 
         def _ops(levels, Afine):
@@ -128,15 +132,20 @@ class AMGSolver:
         # -- host mode: chunk of `kr.chunk` iterations per dispatch -------
         def kr_init(levels, Afine, b):
             mv, pc = _ops(levels, Afine)
-            return (pcg_init(mv, pc, b, _dot) if is_cg
-                    else bicgstab_init(mv, b, _dot))
+            if method == "cg":
+                return pcg_init(mv, pc, b, _dot)
+            if method == "amg":
+                return stationary_init(mv, pc, b, _dot)
+            return bicgstab_init(mv, b, _dot)
 
         def kr_chunk(levels, Afine, rhat, state):
             mv, pc = _ops(levels, Afine)
             # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
             for _ in range(kr.chunk):
-                if is_cg:
+                if method == "cg":
                     state = pcg_step(mv, pc, _dot, state)
+                elif method == "amg":
+                    state = stationary_step(mv, pc, _dot, state)
                 else:
                     state = bicgstab_step(mv, pc, _dot, rhat, state)
             return state
@@ -173,8 +182,8 @@ class AMGSolver:
             x, it, rel = self._inner_solve_dev(levels, Afine, b, tol,
                                                kr.maxiter)
             return x, int(it), float(rel)
-        is_cg = kr.method == "cg"
-        i_rr, i_k = (5, 6) if is_cg else (7, 8)
+        i_rr, i_k = {"cg": (5, 6), "bicgstab": (7, 8),
+                     "amg": (2, 3)}[kr.method]
         state = self._kr_init(levels, Afine, b)
         rr0 = float(state[i_rr])     # == ||b||^2 for x0 = 0
         if rr0 == 0.0:
@@ -195,7 +204,7 @@ class AMGSolver:
                     time.perf_counter() - t0))
             if rr <= target or not np.isfinite(rr):
                 break
-            if not is_cg and bool(state[9]):   # BiCGStab breakdown
+            if kr.method == "bicgstab" and bool(state[9]):   # breakdown
                 break
         return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
 

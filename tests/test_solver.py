@@ -192,3 +192,30 @@ def test_elasticity_rigid_body_modes_grid_independent():
         assert r.converged
         iters.append(r.iterations)
     assert max(iters) <= 26
+
+
+def test_stationary_amg_solve_modes_agree():
+    """method='amg': standalone cycle iteration (no Krylov) converges and
+    the device/host loop modes agree."""
+    import numpy as np
+    from sparsh_amg_tpu.models.poisson import poisson2d
+    from sparsh_amg_tpu.params import AMGParams, KrylovParams
+    from sparsh_amg_tpu.solve.solver import AMGSolver
+
+    A = poisson2d(40)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(A.shape[0])
+    params = AMGParams(smoother="chebyshev")
+    results = {}
+    for mode in ("host", "device"):
+        kr = KrylovParams(method="amg", loop_mode=mode, maxiter=200)
+        res = AMGSolver(A, params, kr).solve(b)
+        assert res.converged, f"amg stationary did not converge ({mode})"
+        assert res.relres <= 1e-8
+        results[mode] = res
+    # same iteration count up to the host chunk overrun
+    assert abs(results["host"].iterations
+               - results["device"].iterations) <= 4
+    # PCG accelerates: stationary needs strictly more iterations
+    pcg_res = AMGSolver(A, params, KrylovParams(method="cg")).solve(b)
+    assert pcg_res.iterations < results["device"].iterations
