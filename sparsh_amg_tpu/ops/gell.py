@@ -468,8 +468,14 @@ def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
     from .._native import csr_arrays
     indptr, indices, data = csr_arrays(A)
     rows_pad = _round_up(max(n, 1), 128 * LANE)
-    chosen = None
-    candidates = (tr_force,) if tr_force else (16, 32, 64, 128)
+    chosen = fallback = overflow = None
+    # TR=16 runs first as the irregularity gate (its s_max cap rejects
+    # matrices too scattered for GELL) but is never PICKED unless forced:
+    # measured on hardware (exp_tr/exp_grp 2026-08-18), TR=16 tiles run
+    # 1.2-40x slower than TR=64/128 for every operator in the hierarchy
+    # (more tiles = more per-tile window passes; SMEM overflow is handled
+    # by chunking either way)
+    candidates = (tr_force,) if tr_force else (16, 64, 128, 32)
     for TR in candidates:
         tile = TR * LANE
         n_tiles = (rows_pad * K) // tile
@@ -491,9 +497,18 @@ def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
         per_word = 2 if wmode == 16 else 1
         W = -(-S // per_word)
         smem = n_tiles * _smem_per_tile(W)
-        chosen = (TR, tile, n_tiles, S, W)
+        cand = (TR, tile, n_tiles, S, W)
+        if TR == 16 and not tr_force:
+            if fallback is None:
+                fallback = cand         # gate-only; last resort
+            continue
         if smem <= SMEM_BUDGET:
+            chosen = cand
             break
+        if overflow is None or TR > overflow[0]:
+            overflow = cand     # over-budget: larger TR = fewer chunks
+    if chosen is None:
+        chosen = overflow if overflow is not None else fallback
     if chosen is None:
         return None
     TR, tile, n_tiles, S, W = chosen
@@ -543,7 +558,7 @@ def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
     wb = src >> 10                              # // WIN, rows sorted
 
     keys = None
-    chosen = None
+    cands = {}
     for TR in (16, 32, 64, 128):
         tile = TR * LANE
         n_tiles = (rows_pad * K) // tile
@@ -568,13 +583,30 @@ def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
         per_word = 2 if wmode == 16 else 1
         W = -(-S // per_word)
         smem = n_tiles * _smem_per_tile(W)
-        chosen = (TR, tile, n_tiles, keys, S, W)
-        if smem <= SMEM_BUDGET or tr_force:
-            break       # fits in one pallas_call
+        cands[TR] = (TR, tile, n_tiles, keys, S, W, smem)
+        if tr_force:
+            break
 
+    # same preference as the native packer: TR=16 is gate-only (measured
+    # 1.2-40x slower on hardware); pick the first fitting of 64/128/32,
+    # else the largest over-budget TR (fewest chunks), else 16
+    chosen = None
+    if tr_force:
+        chosen = cands.get(tr_force)
+    else:
+        for TR in (64, 128, 32):
+            c = cands.get(TR)
+            if c is not None and c[6] <= SMEM_BUDGET:
+                chosen = c
+                break
+        if chosen is None:
+            for TR in (128, 64, 16):
+                if TR in cands:
+                    chosen = cands[TR]
+                    break
     if chosen is None:
         return None
-    TR, tile, n_tiles, keys, S, W = chosen
+    TR, tile, n_tiles, keys, S, W = chosen[:6]
     windows, counts, offsets = _keys_to_tables(keys, n_tiles)
     if windows.shape[1] < S:        # s_force padding: repeat last valid
         lastw = windows[np.arange(n_tiles),
@@ -634,63 +666,179 @@ class SplitGell:
         return self.comb.spmv(self.part.spmv(x))
 
 
-def _split_quantum(deg: np.ndarray, K: int):
-    """Pick the sub-row size kq minimizing total stream slots (part +
-    comb), or None when splitting saves < 25% over the plain packing."""
-    n = len(deg)
-    if n == 0 or K <= 8:
+# sub-rows are additionally cut at column GAPS wider than this, so each
+# sub-row's sources stay within ~one 1024-entry window.  3-D restriction /
+# coarse-operator rows intrinsically span ~2 grid planes (z+-1 neighbors:
+# a ~9k-entry column jump at 96^3); without gap cuts every stream tile
+# pays a window pass per plane its rows touch.  Measured on hardware
+# (exp_tr 2026-08-18): GELL time ~ 0.6us*tiles + ~9ns*TR*sum(counts), so
+# live window passes ARE the kernel time.
+_GAP_MAX = 1024
+
+
+def _segment_rows(A: sp.csr_matrix, gap_max: int = _GAP_MAX):
+    """Cut every row at sorted-column gaps > gap_max.  Returns
+    (seg_indptr, seg_row): nnz-aligned segment boundaries (CSR-compatible
+    indptr over segments) and each segment's parent row."""
+    n = A.shape[0]
+    indptr = A.indptr.astype(np.int64)
+    cols = A.indices
+    brk = np.zeros(A.nnz, dtype=bool)
+    if A.nnz:
+        brk[1:] = (cols[1:].astype(np.int64)
+                   - cols[:-1].astype(np.int64)) > gap_max
+        rs = indptr[1:-1]
+        brk[rs[rs < A.nnz]] = False     # row starts handled separately
+        starts = np.zeros(A.nnz, dtype=bool)
+        starts[indptr[:-1][np.diff(indptr) > 0]] = True
+        first = starts | brk
+        seg_start = np.nonzero(first)[0]
+    else:
+        seg_start = np.zeros(0, dtype=np.int64)
+    seg_indptr = np.empty(len(seg_start) + 1, dtype=np.int64)
+    seg_indptr[:-1] = seg_start
+    seg_indptr[-1] = A.nnz
+    # parent row of each segment: searchsorted into the row indptr
+    seg_row = np.searchsorted(indptr, seg_start, side="right") - 1
+    return seg_indptr, seg_row
+
+
+def _split_plan(A: sp.csr_matrix, K: int, gap_max: int = _GAP_MAX):
+    """Choose the sub-row quantum kq over the GAP-CUT segments, minimizing
+    total stream slots (part + comb).  Returns (kq, seg_indptr, seg_row)
+    or None when neither gap cutting nor degree splitting pays:
+    - no gap segmentation happened AND K <= 8 (nothing to win), or
+    - the best split costs > 0.75x the plain packing's slots AND the rows
+      are window-local anyway (no gaps)."""
+    n = A.shape[0]
+    if n == 0:
         return None
+    seg_indptr, seg_row = _segment_rows(A, gap_max)
+    n_seg = len(seg_row)
+    # gap MODE only when cutting is pervasive (long rows genuinely span
+    # windows: 96^3 R0 cuts 6.8 segments/row).  A handful of boundary-row
+    # cuts (96^3 A1: 1.008x, P0: 1.08x) must not flip the whole matrix
+    # into split layout — measured, splitting those is cost-neutral at
+    # best while paying an extra kernel
+    has_gaps = n_seg > 1.5 * n
+    if not has_gaps and K <= 8:
+        return None
+    seg_len = np.diff(seg_indptr)
     base = n * K
+    if has_gaps:
+        # window-grouped split: the cost drivers are part compute
+        # (~slots) and comb size (~sub-row count), and hardware says the
+        # sweet spot is kq ~= the mean segment length (96^3 R0: mean 36,
+        # kq 32 -> 2.32 ms vs kq 8 -> 3.71 ms) — most segments become one
+        # sub-row, the comb stays small, padding stays ~2x nnz
+        mean_len = float(seg_len[seg_len > 0].mean()) if n_seg else 1.0
+        # kq ~= 2x mean segment: most segments stay one sub-row (small
+        # comb) at ~2x slot padding — measured best at 96^3 R0 (kq 32 for
+        # mean 16: 2.32 ms vs kq 16: 2.74 ms vs kq 8: 3.71 ms)
+        kq = min((8, 16, 24, 32, 48, 64, 96, 128),
+                 key=lambda q: abs(q - 2.0 * mean_len))
+        g = np.maximum(1, -(-seg_len // kq))
+        slots = int(g.sum()) * kq
+        # bound the padding blowup (bf16 slots are compute + HBM bytes)
+        if slots > 2.6 * max(A.nnz, 1) + n * 8:
+            return None
+        return kq, seg_indptr, seg_row, True
     best = None
     for kq in (8, 16, 24, 32, 48, 64, 96, 128):
         if kq >= K:
             break
-        g = np.maximum(1, -(-deg // kq))
-        slots = int(g.sum()) * kq + n * int(g.max())
+        g = np.maximum(1, -(-seg_len // kq))
+        per_row = np.bincount(seg_row, weights=g, minlength=n)
+        slots = int(g.sum()) * kq + n * int(per_row.max())
         if best is None or slots < best[0]:
             best = (slots, kq)
     if best is None or best[0] > 0.75 * base:
         return None
-    return best[1]
+    return best[1], seg_indptr, seg_row, False
 
 
 def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
-                     n_pad: int | None = None):
-    """GELL packing with automatic row splitting.
+                     n_pad: int | None = None, kq_force: int | None = None,
+                     tr_force: int | None = None, group: bool | None = None):
+    """GELL packing with automatic row splitting (degree + span).
 
-    Returns a GellMatrix, a SplitGell (when splitting saves >= 25% of the
-    stream), or None (caller falls back to classical ELL)."""
+    When rows were cut at column gaps (multi-plane 3-D restriction /
+    coarse-operator rows), the sub-rows are additionally SORTED by their
+    first source window so every stream tile reads from ~one window
+    instead of interleaving all the planes its rows touch (`group`,
+    default on whenever gap cuts happened).  The comb matrix then indexes
+    the permuted sub-row results — no longer contiguous, but tiny.
+
+    Returns a GellMatrix, a SplitGell (when splitting pays), or None
+    (caller falls back to classical ELL)."""
     A = A.tocsr()
+    A.sort_indices()
     n, m = A.shape
     deg = np.diff(A.indptr)
     K = max(int(deg.max()) if n else 0, 1)
-    kq = _split_quantum(deg, K)
-    if kq is None:
-        return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad)
-    g = np.maximum(1, -(-deg // kq)).astype(np.int64)
-    cumg = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(g, out=cumg[1:])
-    n_split = int(cumg[-1])
-    row_of = np.repeat(np.arange(n, dtype=np.int64), g)
-    within = np.arange(n_split, dtype=np.int64) - cumg[row_of]
+    plan = _split_plan(A, K)
+    if plan is None:
+        return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad,
+                           tr_force=tr_force)
+    kq, seg_indptr, seg_row, gap_mode = plan
+    if kq_force is not None:
+        kq = kq_force
+    seg_len = np.diff(seg_indptr)
+    g = np.maximum(1, -(-seg_len // kq)).astype(np.int64)   # sub-rows/segment
+    cum_sub = np.zeros(len(g) + 1, dtype=np.int64)
+    np.cumsum(g, out=cum_sub[1:])
+    n_split = int(cum_sub[-1])
+    seg_of = np.repeat(np.arange(len(g), dtype=np.int64), g)
+    within = np.arange(n_split, dtype=np.int64) - cum_sub[seg_of]
     part_indptr = np.empty(n_split + 1, dtype=np.int64)
-    part_indptr[:-1] = A.indptr[row_of] + within * kq
+    part_indptr[:-1] = seg_indptr[seg_of] + within * kq
     part_indptr[-1] = A.nnz
-    part = sp.csr_matrix((A.data, A.indices, part_indptr),
-                         shape=(n_split, m))
-    part.has_sorted_indices = True      # sub-ranges of sorted rows
-    part.has_canonical_format = True
-    comb = sp.csr_matrix((np.ones(n_split, dtype=np.float64),
-                          np.arange(n_split, dtype=np.int32), cumg),
-                         shape=(n, n_split))
-    comb.has_sorted_indices = True
-    comb.has_canonical_format = True
+    if group is None:
+        group = gap_mode
+    g_row = np.bincount(seg_row, weights=g, minlength=n).astype(np.int64)
+    cumg = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(g_row, out=cumg[1:])
+    if group and n_split:
+        # sort sub-rows by first-source window so each part tile's rows
+        # share windows (a tile of row-ordered sub-rows interleaves every
+        # plane its rows touch — measured 6.5ms vs 4.9ms at 96^3 R0; the
+        # grouped layout is what actually cuts live window passes)
+        key = A.indices[part_indptr[:-1]].astype(np.int64) >> 10
+        perm = np.argsort(key, kind="stable")
+        lens = np.diff(part_indptr)
+        new_lens = lens[perm]
+        gp_indptr = np.zeros(n_split + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=gp_indptr[1:])
+        gather = (np.repeat(part_indptr[:-1][perm] - gp_indptr[:-1],
+                            new_lens)
+                  + np.arange(A.nnz, dtype=np.int64))
+        part = sp.csr_matrix((A.data[gather], A.indices[gather],
+                              gp_indptr), shape=(n_split, m))
+        inv = np.empty(n_split, dtype=np.int64)
+        inv[perm] = np.arange(n_split, dtype=np.int64)
+        comb_cols = inv.astype(np.int32)
+        comb = sp.csr_matrix((np.ones(n_split, dtype=np.float64),
+                              comb_cols, cumg), shape=(n, n_split))
+        comb.sort_indices()
+    else:
+        part = sp.csr_matrix((A.data, A.indices, part_indptr),
+                             shape=(n_split, m))
+        part.has_sorted_indices = True      # sub-ranges of sorted rows
+        part.has_canonical_format = True
+        # sub-rows of a row are consecutive (segments in row order), so
+        # comb keeps a contiguous 0/1 structure
+        comb = sp.csr_matrix((np.ones(n_split, dtype=np.float64),
+                              np.arange(n_split, dtype=np.int32), cumg),
+                             shape=(n, n_split))
+        comb.has_sorted_indices = True
+        comb.has_canonical_format = True
     # explicit k_caps: the split factors are padding-optimal by
     # construction, so the default 4x-average blowup guard must not veto
-    # them (comb's max degree ceil(K/kq) legitimately exceeds 4x its mean)
-    Gp = csr_to_gell(part, dtype=dtype, s_max=s_max, k_cap=kq)
+    # them (comb's max degree legitimately exceeds 4x its mean)
+    Gp = csr_to_gell(part, dtype=dtype, s_max=s_max, k_cap=kq,
+                     tr_force=tr_force)
     Gc = csr_to_gell(comb, dtype=dtype, s_max=s_max, n_pad=n_pad,
-                     k_cap=int(g.max()))
+                     k_cap=int(g_row.max()) if n else 1)
     if Gp is None or Gc is None:
         return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad)
     return SplitGell(part=Gp, comb=Gc, n_rows=n, n_cols=m)
@@ -712,8 +860,8 @@ def csr_to_gell_stacked(blocks, dtype=jnp.float32, s_max: int = 64,
     nnz_avg = sum(B.nnz for B in blocks) / max(nd * max(n, 1), 1)
     if K > max(8, int(4 * max(nnz_avg, 1))) or K > 16 * LANE:
         return None
-    chosen = None
-    for TR in (16, 32, 64, 128):
+    chosen = fallback = None
+    for TR in (16, 64, 128, 32):
         Gs = [csr_to_gell(B, dtype=dtype, s_max=s_max, n_pad=n_pad,
                           tr_force=TR, k_force=K) for B in blocks]
         if any(G is None for G in Gs):
@@ -724,9 +872,16 @@ def csr_to_gell_stacked(blocks, dtype=jnp.float32, s_max: int = 64,
         per_word = 2 if Gs[0].wmode == 16 else 1
         W = -(-S // per_word)
         smem = Gs[0].n_tiles * _smem_per_tile(W)
-        chosen = (TR, S, Gs)
+        if TR == 16:
+            fallback = (TR, S, Gs)   # gate passed; prefer larger TRs
+            continue
         if smem <= SMEM_BUDGET:
+            chosen = (TR, S, Gs)
             break
+        if chosen is None:
+            chosen = (TR, S, Gs)     # over budget: keep first (TR=64)
+    if chosen is None:
+        chosen = fallback
     if chosen is None:
         return None
     TR, S, Gs = chosen

@@ -143,8 +143,9 @@ def work_per_iteration(hier, dev, params, method: str = "cg") -> WorkModel:
                     nbytes += c["C"] * sweeps * op_bytes(dv.A)
 
     fine_nnz = hier.levels[0].A.nnz
-    mv = 1 if method == "cg" else 2
-    pc = 1 if method == "cg" else 2
+    # per-iteration top-level costs: CG and the stationary 'amg' solve do
+    # one matvec + one cycle; BiCGStab does two of each
+    mv, pc = (2, 2) if method == "bicgstab" else (1, 1)
     nnz_iter = mv * fine_nnz + pc * nnz
     bytes_iter = 0.0
     if dev is not None:
