@@ -221,6 +221,15 @@ def get_lib():
             _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
             _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
         ]
+        lib.segment_rows_count.restype = None
+        lib.segment_rows_count.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _i64, _ptr(np.int64),
+        ]
+        lib.segment_rows_fill.restype = None
+        lib.segment_rows_fill.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _i64, _ptr(np.int64),
+            _ptr(np.int64), _ptr(np.int32),
+        ]
         _LIB = lib
         _TRIED = True
         return _LIB

@@ -1581,4 +1581,50 @@ void gell_fill_bf16(int64_t n, int64_t K, int64_t tile, int64_t n_tiles,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Row segmentation for the window-grouped SplitGell packing: cut each
+// (sorted) row at column gaps > gap_max.  Two passes so the caller can
+// allocate exactly; both row-parallel, no nnz-length temporaries (the
+// numpy version's int64 casts + nonzero cost ~11 s at 192^3).
+// ---------------------------------------------------------------------------
+
+// Pass 1: number of segments per row (0 for empty rows).
+void segment_rows_count(int64_t n, const int64_t* indptr,
+                        const int32_t* indices, int64_t gap_max,
+                        int64_t* seg_count) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = indptr[i], e = indptr[i + 1];
+    if (s == e) { seg_count[i] = 0; continue; }
+    int64_t c = 1;
+    for (int64_t p = s + 1; p < e; ++p)
+      c += (int64_t)indices[p] - (int64_t)indices[p - 1] > gap_max;
+    seg_count[i] = c;
+  }
+}
+
+// Pass 2: seg_offset = exclusive scan of seg_count (n+1, caller-built);
+// fills seg_indptr (n_seg+1 with the final nnz sentinel) and seg_row
+// (n_seg int32).
+void segment_rows_fill(int64_t n, const int64_t* indptr,
+                       const int32_t* indices, int64_t gap_max,
+                       const int64_t* seg_offset,
+                       int64_t* seg_indptr, int32_t* seg_row) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = indptr[i], e = indptr[i + 1];
+    int64_t k = seg_offset[i];
+    if (s == e) continue;
+    seg_indptr[k] = s;
+    seg_row[k++] = (int32_t)i;
+    for (int64_t p = s + 1; p < e; ++p) {
+      if ((int64_t)indices[p] - (int64_t)indices[p - 1] > gap_max) {
+        seg_indptr[k] = p;
+        seg_row[k++] = (int32_t)i;
+      }
+    }
+  }
+  seg_indptr[seg_offset[n]] = indptr[n];
+}
+
 }  // extern "C"

@@ -681,6 +681,23 @@ def _segment_rows(A: sp.csr_matrix, gap_max: int = _GAP_MAX):
     (seg_indptr, seg_row): nnz-aligned segment boundaries (CSR-compatible
     indptr over segments) and each segment's parent row."""
     n = A.shape[0]
+    from .._native import get_lib
+    lib = get_lib()
+    if lib is not None and A.nnz >= (1 << 16):
+        # single-pass OpenMP: the numpy version's nnz-length int64 casts
+        # + nonzero cost ~11 s over the 192^3 transfers on this VM
+        indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+        cnt = np.empty(n, dtype=np.int64)
+        lib.segment_rows_count(n, indptr, indices, int(gap_max), cnt)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=off[1:])
+        n_seg = int(off[-1])
+        seg_indptr = np.empty(n_seg + 1, dtype=np.int64)
+        seg_row = np.empty(n_seg, dtype=np.int32)
+        lib.segment_rows_fill(n, indptr, indices, int(gap_max), off,
+                              seg_indptr, seg_row)
+        return seg_indptr, seg_row
     indptr = A.indptr.astype(np.int64)
     cols = A.indices
     brk = np.zeros(A.nnz, dtype=bool)
@@ -713,6 +730,11 @@ def _split_plan(A: sp.csr_matrix, K: int, gap_max: int = _GAP_MAX):
     n = A.shape[0]
     if n == 0:
         return None
+    if K <= 8:
+        # rows this short never pay for splitting: the plain packing's
+        # tiles already keep S small (96^3 P0: K=5, S=5), and a split
+        # adds a whole comb kernel — skip before the segmentation pass
+        return None
     seg_indptr, seg_row = _segment_rows(A, gap_max)
     n_seg = len(seg_row)
     # gap MODE only when cutting is pervasive (long rows genuinely span
@@ -721,8 +743,6 @@ def _split_plan(A: sp.csr_matrix, K: int, gap_max: int = _GAP_MAX):
     # into split layout — measured, splitting those is cost-neutral at
     # best while paying an extra kernel
     has_gaps = n_seg > 1.5 * n
-    if not has_gaps and K <= 8:
-        return None
     seg_len = np.diff(seg_indptr)
     base = n * K
     if has_gaps:
