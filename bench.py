@@ -75,6 +75,13 @@ def main():
                          "0 = serial single chip)")
     ap.add_argument("--coarsening", default="rs",
                     choices=["rs", "pmis", "aggregation"])
+    ap.add_argument("--aggressive", default="pmis2",
+                    choices=["composed", "pmis2"],
+                    help="aggressive-step scheme: pmis2 = second PMIS on "
+                         "the distance-2 C-C graph + smoothed multipass "
+                         "interp (no intermediate RAP; measured ~2x "
+                         "faster setup at 192^3, same 20-iteration "
+                         "convergence); composed = round-2 flagship")
     args = ap.parse_args()
 
     import jax
@@ -112,7 +119,8 @@ def main():
                      # throwaway intermediate RAP filtered at 0.02 —
                      # measured iteration-neutral 64^3..128^3, ~2x faster
                      # aggressive-coarsening setup step
-                     intermediate_drop_tol=0.02)
+                     intermediate_drop_tol=0.02,
+                     aggressive=args.aggressive)
         if args.coarsening == "rs":
             args.coarsening = "pmis"   # flagship pairing
     params = AMGParams(smoother="chebyshev", cycle="V",

@@ -230,6 +230,56 @@ def get_lib():
             _i64, _ptr(np.int64), _ptr(np.int32), _i64, _ptr(np.int64),
             _ptr(np.int64), _ptr(np.int32),
         ]
+        lib.mask_compress_data.restype = None
+        lib.mask_compress_data.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.float64),
+        ]
+        lib.csr_row_scale.restype = None
+        lib.csr_row_scale.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.float64), _ptr(np.float64),
+        ]
+        lib.weak_row_sum.restype = None
+        lib.weak_row_sum.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), _ptr(np.float64),
+        ]
+        lib.csr_add_symbolic.restype = None
+        lib.csr_add_symbolic.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.int64),
+        ]
+        lib.csr_add_fill.restype = None
+        lib.csr_add_fill.argtypes = [
+            _i64, ctypes.c_double, _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.float64), ctypes.c_double, _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.float64), _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.float64),
+        ]
+        lib.dist2_cc_symbolic.restype = _i64
+        lib.dist2_cc_symbolic.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int8),
+            _ptr(np.int32), _i64, _ptr(np.int64),
+        ]
+        lib.dist2_cc_fill.restype = None
+        lib.dist2_cc_fill.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int8),
+            _ptr(np.int32), _ptr(np.int64), _ptr(np.int32),
+        ]
+        lib.multipass_interp.restype = _i64
+        lib.multipass_interp.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _i64, _i64,
+            _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
+        ]
+        lib.interp_jacobi_smooth.restype = _i64
+        lib.interp_jacobi_smooth.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), ctypes.c_double, _i64, _i64,
+            _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
+            _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
+        ]
         _LIB = lib
         _TRIED = True
         return _LIB

@@ -1627,4 +1627,427 @@ void segment_rows_fill(int64_t n, const int64_t* indptr,
   seg_indptr[seg_offset[n]] = indptr[n];
 }
 
+// Masked CSR compress WITH values (the pattern-only variant lives in
+// mask_compress): out rows keep entries where mask != 0.
+void mask_compress_data(int64_t n, const int64_t* indptr,
+                        const int32_t* indices, const double* data,
+                        const uint8_t* mask, const int64_t* out_indptr,
+                        int32_t* out_indices, double* out_data) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t o = out_indptr[i];
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      if (mask[k]) {
+        out_indices[o] = indices[k];
+        out_data[o] = data[k];
+        ++o;
+      }
+    }
+  }
+}
+
+// data[k] *= scale[row(k)] — in place row scaling without an nnz-length
+// rows array.
+void csr_row_scale(int64_t n, const int64_t* indptr, double* data,
+                   const double* scale) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const double s = scale[i];
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) data[k] *= s;
+  }
+}
+
+// out[i] = sum of NON-strong off-diagonal entries of row i (the lumped
+// mass of strength filtering) — replaces two serial scipy matvecs.
+void weak_row_sum(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  const double* data, const uint8_t* strong, double* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double s = 0.0;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (!strong[k] && indices[k] != (int32_t)i) s += data[k];
+    out[i] = s;
+  }
+}
+
+// C = alpha*A + beta*B for same-shape CSRs with SORTED column indices —
+// scipy's csr_binop is single-threaded (measured 2.4 s on the fine-level
+// P smoothing merge at 96^3).  Two-phase: symbolic row sizes, then fill.
+void csr_add_symbolic(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                      const int64_t* Bp, const int32_t* Bi,
+                      int64_t* counts) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ka = Ap[i], kb = Bp[i], c = 0;
+    while (ka < Ap[i + 1] && kb < Bp[i + 1]) {
+      const int32_t ca = Ai[ka], cb = Bi[kb];
+      ka += (ca <= cb);
+      kb += (cb <= ca);
+      ++c;
+    }
+    counts[i] = c + (Ap[i + 1] - ka) + (Bp[i + 1] - kb);
+  }
+}
+
+void csr_add_fill(int64_t n, double alpha, const int64_t* Ap,
+                  const int32_t* Ai, const double* Ax, double beta,
+                  const int64_t* Bp, const int32_t* Bi, const double* Bx,
+                  const int64_t* Cp, int32_t* Ci, double* Cx) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ka = Ap[i], kb = Bp[i], o = Cp[i];
+    while (ka < Ap[i + 1] && kb < Bp[i + 1]) {
+      const int32_t ca = Ai[ka], cb = Bi[kb];
+      if (ca < cb) {
+        Ci[o] = ca; Cx[o++] = alpha * Ax[ka++];
+      } else if (cb < ca) {
+        Ci[o] = cb; Cx[o++] = beta * Bx[kb++];
+      } else {
+        Ci[o] = ca; Cx[o++] = alpha * Ax[ka++] + beta * Bx[kb++];
+      }
+    }
+    for (; ka < Ap[i + 1]; ++ka) { Ci[o] = Ai[ka]; Cx[o++] = alpha * Ax[ka]; }
+    for (; kb < Bp[i + 1]; ++kb) { Ci[o] = Bi[kb]; Cx[o++] = beta * Bx[kb]; }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Aggressive coarsening via a second PMIS round on the distance-2 C-C
+// graph (hypre BoomerAMG agg_num_levels; De Sterck/Yang/Heys 2006).
+// Replaces the composed-coarsening path's throwaway intermediate RAP:
+// c1 ~ c2 iff c2 in S(c1) or exists F-point f with f in S(c1), c2 in
+// S(f).  Rows are C-local (cmap).  Two-phase symbolic/fill.
+// ---------------------------------------------------------------------------
+
+int64_t dist2_cc_symbolic(int64_t n, const int64_t* S_indptr,
+                          const int32_t* S_indices, const int8_t* cf,
+                          const int32_t* cmap, int64_t n_c,
+                          int64_t* S2_indptr) {
+  std::vector<int64_t> counts(n_c, 0);
+#pragma omp parallel
+  {
+    std::vector<int64_t> mark(n, -1);
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] != 1) continue;
+      int64_t cnt = 0;
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+        const int32_t j = S_indices[k];
+        if (j == (int32_t)i) continue;
+        if (cf[j] == 1) {
+          if (mark[j] != i) { mark[j] = i; ++cnt; }
+        } else {
+          for (int64_t k2 = S_indptr[j]; k2 < S_indptr[j + 1]; ++k2) {
+            const int32_t j2 = S_indices[k2];
+            if (cf[j2] != 1 || j2 == (int32_t)i) continue;
+            if (mark[j2] != i) { mark[j2] = i; ++cnt; }
+          }
+        }
+      }
+      counts[cmap[i]] = cnt;
+    }
+  }
+  S2_indptr[0] = 0;
+  for (int64_t r = 0; r < n_c; ++r)
+    S2_indptr[r + 1] = S2_indptr[r] + counts[r];
+  return S2_indptr[n_c];
+}
+
+void dist2_cc_fill(int64_t n, const int64_t* S_indptr,
+                   const int32_t* S_indices, const int8_t* cf,
+                   const int32_t* cmap, const int64_t* S2_indptr,
+                   int32_t* S2_indices) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> mark(n, -1);
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] != 1) continue;
+      int64_t out = S2_indptr[cmap[i]];
+      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+        const int32_t j = S_indices[k];
+        if (j == (int32_t)i) continue;
+        if (cf[j] == 1) {
+          if (mark[j] != i) { mark[j] = i; S2_indices[out++] = cmap[j]; }
+        } else {
+          for (int64_t k2 = S_indptr[j]; k2 < S_indptr[j + 1]; ++k2) {
+            const int32_t j2 = S_indices[k2];
+            if (cf[j2] != 1 || j2 == (int32_t)i) continue;
+            if (mark[j2] != i) {
+              mark[j2] = i;
+              S2_indices[out++] = cmap[j2];
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Multipass interpolation (Stuben 2001; hypre agg_interp_type 4) — the
+// standard partner of aggressive coarsening: builds P directly from the
+// fine A and the final C/F split, no intermediate operator.  Pass 1 =
+// F-points with a strong C neighbour (direct interpolation, the
+// alpha/beta sign-separated scheme of direct_interp); pass p>=2 =
+// F-points with a strong pass<p neighbour, whose rows distribute a_ij
+// over the neighbour's already-built P row; weak/unreached connections
+// lump into the diagonal.  Rows are truncated to `cap` entries as built
+// (pos/neg row sums separately preserved, as truncate_interp).
+//
+// Output is slot layout: P_cols/P_vals (n, cap) + P_len (n).  Returns
+// total nnz, or -1 if some F-point was unreachable AND had strong
+// connections (should not happen: BFS covers every point reachable in
+// the strength graph; isolated points get empty rows).
+// ---------------------------------------------------------------------------
+
+static inline void mp_truncate_row(std::vector<int32_t>& cols,
+                                   std::vector<double>& vals, int64_t cap,
+                                   int32_t* out_cols, double* out_vals,
+                                   int32_t* out_len,
+                                   std::vector<int64_t>& order) {
+  const int64_t len = (int64_t)cols.size();
+  if (len <= cap) {
+    for (int64_t s = 0; s < len; ++s) {
+      out_cols[s] = cols[s];
+      out_vals[s] = vals[s];
+    }
+    *out_len = (int32_t)len;
+    return;
+  }
+  order.resize(len);
+  for (int64_t s = 0; s < len; ++s) order[s] = s;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    const double fa = std::fabs(vals[a]), fb = std::fabs(vals[b]);
+    if (fa != fb) return fa > fb;
+    return a < b;
+  });
+  double pos_all = 0.0, neg_all = 0.0, pos_kept = 0.0, neg_kept = 0.0;
+  for (int64_t s = 0; s < len; ++s)
+    (vals[s] > 0 ? pos_all : neg_all) += vals[s];
+  for (int64_t s = 0; s < cap; ++s) {
+    const double v = vals[order[s]];
+    (v > 0 ? pos_kept : neg_kept) += v;
+  }
+  const double s_pos = (pos_kept != 0.0) ? pos_all / pos_kept : 1.0;
+  const double s_neg = (neg_kept != 0.0) ? neg_all / neg_kept : 1.0;
+  order.resize(cap);
+  std::sort(order.begin(), order.end());
+  for (int64_t s = 0; s < cap; ++s) {
+    const double v = vals[order[s]];
+    out_cols[s] = cols[order[s]];
+    out_vals[s] = v * (v > 0 ? s_pos : s_neg);
+  }
+  *out_len = (int32_t)cap;
+}
+
+int64_t multipass_interp(int64_t n, const int64_t* indptr,
+                         const int32_t* indices, const double* data,
+                         const uint8_t* strong, const int8_t* cf,
+                         const int32_t* cmap, int64_t n_c, int64_t cap,
+                         int32_t* P_cols, double* P_vals, int32_t* P_len) {
+  std::vector<int32_t> pass(n, -1);
+  std::vector<int32_t> frontier, next, cur;
+  frontier.reserve(n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    P_len[i] = 0;
+    if (cf[i] == 1) {
+      pass[i] = 0;
+      P_cols[i * cap] = cmap[i];
+      P_vals[i * cap] = 1.0;
+      P_len[i] = 1;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (cf[i] != 1) frontier.push_back((int32_t)i);
+
+  int32_t p = 1;
+  std::vector<uint8_t> ready_flag(n, 0);
+  while (!frontier.empty()) {
+    const int64_t fn = (int64_t)frontier.size();
+    cur.clear();
+    next.clear();
+    // classify this round (read-only wrt pass; flags in parallel)
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t idx = 0; idx < fn; ++idx) {
+      const int32_t i = frontier[idx];
+      bool ready = false;
+      for (int64_t k = indptr[i]; k < indptr[i + 1] && !ready; ++k)
+        ready = strong[k] && indices[k] != i && pass[indices[k]] >= 0 &&
+                pass[indices[k]] < p;
+      ready_flag[i] = ready;
+    }
+    for (int64_t idx = 0; idx < fn; ++idx) {
+      const int32_t i = frontier[idx];
+      (ready_flag[i] ? cur : next).push_back(i);
+    }
+    if (cur.empty()) break;    // isolated remainder: empty rows
+    const int64_t cn = (int64_t)cur.size();
+    if (p == 1) {
+      // direct interpolation from strong C neighbours
+#pragma omp parallel
+      {
+        std::vector<int32_t> cols;
+        std::vector<double> vals;
+        std::vector<int64_t> order;
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t idx = 0; idx < cn; ++idx) {
+          const int32_t i = cur[idx];
+          double diag = 0.0, sneg_all = 0.0, spos_all = 0.0;
+          double sneg_C = 0.0, spos_C = 0.0;
+          for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int32_t j = indices[k];
+            const double v = data[k];
+            if (j == i) { diag += v; continue; }
+            (v < 0 ? sneg_all : spos_all) += v;
+            if (strong[k] && cf[j] == 1) (v < 0 ? sneg_C : spos_C) += v;
+          }
+          const double alpha = (sneg_C != 0.0) ? sneg_all / sneg_C : 0.0;
+          double beta = 0.0;
+          if (spos_C != 0.0) beta = spos_all / spos_C;
+          else diag += spos_all;
+          cols.clear();
+          vals.clear();
+          if (diag != 0.0) {
+            for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+              const int32_t j = indices[k];
+              if (j == i || !strong[k] || cf[j] != 1) continue;
+              const double v = data[k];
+              const double w = (v < 0 ? -alpha : -beta) * v / diag;
+              if (w != 0.0) { cols.push_back(cmap[j]); vals.push_back(w); }
+            }
+          }
+          mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
+                          P_vals + (int64_t)i * cap, P_len + i, order);
+        }
+      }
+    } else {
+      // distribute a_ij over neighbours' built rows; weak lumps to diag
+#pragma omp parallel
+      {
+        std::vector<double> acc(n_c, 0.0);
+        std::vector<int32_t> touched, cols;
+        std::vector<double> vals;
+        std::vector<int64_t> order;
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t idx = 0; idx < cn; ++idx) {
+          const int32_t i = cur[idx];
+          touched.clear();
+          double denom = 0.0;
+          for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int32_t j = indices[k];
+            const double a_ij = data[k];
+            if (j == i) { denom += a_ij; continue; }
+            if (strong[k] && pass[j] >= 0 && pass[j] < p && P_len[j] > 0) {
+              const int64_t base = (int64_t)j * cap;
+              for (int32_t s = 0; s < P_len[j]; ++s) {
+                const int32_t c = P_cols[base + s];
+                if (acc[c] == 0.0) touched.push_back(c);
+                acc[c] += a_ij * P_vals[base + s];
+              }
+            } else {
+              denom += a_ij;    // weak / unusable: lump
+            }
+          }
+          cols.clear();
+          vals.clear();
+          if (denom != 0.0) {
+            const double inv = -1.0 / denom;
+            for (int32_t c : touched) {
+              const double w = inv * acc[c];
+              if (w != 0.0) { cols.push_back(c); vals.push_back(w); }
+              acc[c] = 0.0;
+            }
+          } else {
+            for (int32_t c : touched) acc[c] = 0.0;
+          }
+          mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
+                          P_vals + (int64_t)i * cap, P_len + i, order);
+        }
+      }
+    }
+    // commit pass numbers AFTER the rows are built (rows of pass p must
+    // not read other pass-p rows)
+    for (int64_t idx = 0; idx < cn; ++idx) pass[cur[idx]] = p;
+    frontier.swap(next);
+    ++p;
+  }
+  int64_t nnz = 0;
+  for (int64_t i = 0; i < n; ++i) nnz += P_len[i];
+  return nnz;
+}
+
+// One damped-Jacobi pass over a slot-layout interpolation, against the
+// strength-filtered operator, truncating back to cap:
+//   P'_i = (1-omega) P_i - (omega / D_i) sum_{j strong} a_ij P_j,
+//   D_i  = a_ii + sum_{k weak offdiag} a_ik.
+// Row-local flat merges (rows are <= ~deg*cap entries) — the generic
+// hash SpGEMM paid 10 s at 192^3 in per-row setup for these tiny rows;
+// this fused form runs in the multipass kernel's own layout with no CSR
+// materialisation.  Reads P_cols/P_vals/P_len, writes Q_*.  Returns nnz.
+int64_t interp_jacobi_smooth(int64_t n, const int64_t* indptr,
+                             const int32_t* indices, const double* data,
+                             const uint8_t* strong, double omega,
+                             int64_t n_c, int64_t cap,
+                             const int32_t* P_cols, const double* P_vals,
+                             const int32_t* P_len, int32_t* Q_cols,
+                             double* Q_vals, int32_t* Q_len) {
+#pragma omp parallel
+  {
+    std::vector<double> acc(n_c, 0.0);
+    std::vector<int32_t> touched, cols;
+    std::vector<double> vals;
+    std::vector<int64_t> order;
+#pragma omp for schedule(dynamic, 512)
+    for (int64_t i = 0; i < n; ++i) {
+      touched.clear();
+      double D = 0.0;
+      double a_ii = 0.0;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        const double v = data[k];
+        if (j == (int32_t)i) { a_ii = v; D += v; continue; }
+        if (strong[k]) {
+          const int64_t base = (int64_t)j * cap;
+          for (int32_t s = 0; s < P_len[j]; ++s) {
+            const int32_t c = P_cols[base + s];
+            if (acc[c] == 0.0) touched.push_back(c);
+            acc[c] += v * P_vals[base + s];
+          }
+        } else {
+          D += v;   // weak off-diagonal lumps into the diagonal
+        }
+      }
+      const double s0 = (D != 0.0) ? -omega / D : 0.0;
+      // scale the strong-neighbour sum by -omega/D in place (a zero
+      // filtered diagonal drops it — nothing sane to divide by)
+      for (int32_t c : touched) acc[c] *= s0;
+      // merge the (1-omega) own-row term
+      {
+        const int64_t base = (int64_t)i * cap;
+        for (int32_t s = 0; s < P_len[i]; ++s) {
+          const int32_t c = P_cols[base + s];
+          const double w = (1.0 - omega) * P_vals[base + s];
+          if (w == 0.0) continue;
+          if (acc[c] == 0.0) touched.push_back(c);
+          acc[c] += w;
+        }
+      }
+      cols.clear();
+      vals.clear();
+      for (int32_t c : touched) {
+        const double w = acc[c];
+        if (w != 0.0) { cols.push_back(c); vals.push_back(w); }
+        acc[c] = 0.0;
+      }
+      mp_truncate_row(cols, vals, cap, Q_cols + (int64_t)i * cap,
+                      Q_vals + (int64_t)i * cap, Q_len + i, order);
+    }
+  }
+  int64_t nnz = 0;
+  for (int64_t i = 0; i < n; ++i) nnz += Q_len[i];
+  return nnz;
+}
+
 }  // extern "C"

@@ -52,6 +52,26 @@ class AMGParams:
                                        # interpolation the same way); cuts
                                        # the device transfer tables ~2x for
                                        # one extra host SpGEMM. 0 = off.
+    aggressive: str = "composed"       # HOW an aggressive step coarsens:
+                                       # "composed" = two full rounds with
+                                       # an intermediate (filtered) RAP,
+                                       # P = trunc(P1@P2); "pmis2" = second
+                                       # PMIS round on the distance-2 C-C
+                                       # strength graph + multipass
+                                       # interpolation straight from the
+                                       # fine A (hypre agg_num_levels +
+                                       # agg_interp_type=4) — no
+                                       # intermediate operator at all,
+                                       # ~2x faster setup per step
+    multipass_smooth: bool = True      # aggressive="pmis2" only: one
+                                       # damped-Jacobi pass over the
+                                       # multipass P against the strength-
+                                       # filtered A, then re-truncation.
+                                       # Repairs multipass's weight quality
+                                       # (measured 96^3 Poisson: 28 -> 20
+                                       # PCG iterations, matching composed
+                                       # ext+i) for ~one extra native
+                                       # SpGEMM of P's width
     intermediate_drop_tol: float = 0.0 # drop tolerance for the THROWAWAY
                                        # intermediate operator of an
                                        # aggressive-coarsening step (it only

@@ -119,3 +119,36 @@ def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
                            shape=Ac.shape)
         Ac.eliminate_zeros()
     return Ac
+
+
+def csr_add(alpha: float, A: sp.csr_matrix, beta: float,
+            B: sp.csr_matrix) -> sp.csr_matrix:
+    """C = alpha*A + beta*B, row-parallel (scipy's csr_binop is
+    single-threaded: 2.4 s on the fine-level P-smoothing merge at 96^3).
+    Requires sorted indices in both operands; output is canonical."""
+    assert A.shape == B.shape
+    n = A.shape[0]
+    lib = get_lib()
+    if lib is None or A.nnz + B.nnz < (1 << 16):
+        C = (alpha * A + beta * B).tocsr()
+        C.sum_duplicates()
+        return C
+    if not A.has_sorted_indices:
+        A.sort_indices()
+    if not B.has_sorted_indices:
+        B.sort_indices()
+    Ap, Ai, Ax = csr_arrays(A)
+    Bp, Bi, Bx = csr_arrays(B)
+    counts = np.empty(n, dtype=np.int64)
+    lib.csr_add_symbolic(n, Ap, Ai, Bp, Bi, counts)
+    Cp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=Cp[1:])
+    nnz = int(Cp[-1])
+    Ci = empty_prefaulted(nnz, np.int32)
+    Cx = empty_prefaulted(nnz, np.float64)
+    lib.csr_add_fill(n, float(alpha), Ap, Ai, Ax, float(beta), Bp, Bi, Bx,
+                     Cp, Ci, Cx)
+    C = sp.csr_matrix((Cx, Ci, Cp), shape=A.shape)
+    C.has_sorted_indices = True
+    C.has_canonical_format = True
+    return C

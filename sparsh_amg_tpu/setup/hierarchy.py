@@ -126,6 +126,45 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
     raise ValueError(f"unknown coarsening {params.coarsening!r}")
 
 
+def _coarsen_aggressive(A: sp.csr_matrix, params: AMGParams):
+    """One AGGRESSIVE setup step, hypre-style (aggressive="pmis2"): a
+    second PMIS round on the distance-2 C-C strength graph picks the
+    final C set, and multipass interpolation builds P straight from the
+    fine A — the composed path's intermediate RAP + second ext+i round
+    (~22 s of the 41 s 192^3 setup) never happens.  Returns
+    (P, cf_final) or None on stall."""
+    import time
+    from .splitting import dist2_cc_graph, CPT, FPT
+    from .interp import multipass_interpolation
+    t = time.perf_counter()
+    strong_mask, S = classical_strength(A, params.theta)
+    t = _tick(f"strength(n={A.shape[0]})", t)
+    if params.coarsening == "hmis":
+        cf1 = rs_splitting(S, second_pass=False)
+    else:
+        cf1 = pmis_splitting(S)
+    t = _tick("splitting", t)
+    n_c1 = int((cf1 == CPT).sum())
+    if n_c1 == 0 or n_c1 >= A.shape[0]:
+        return None
+    S2 = dist2_cc_graph(S, cf1)
+    t = _tick("dist2", t)
+    cf2 = pmis_splitting(S2, seed=1)
+    t = _tick("splitting2", t)
+    cf = cf1.copy()
+    c1_idx = np.flatnonzero(cf1 == CPT)
+    cf[c1_idx[cf2 == FPT]] = FPT
+    n_c = int((cf == CPT).sum())
+    if n_c == 0 or n_c >= A.shape[0]:
+        return None
+    cap = params.interp_max_composed or params.interp_max or 5
+    omega = params.jacobi_omega_smooth_P if params.multipass_smooth else None
+    P = multipass_interpolation(A, strong_mask, cf, max_per_row=cap,
+                                smooth_omega=omega)
+    _tick("multipass+smooth", t)
+    return P, cf
+
+
 def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
               nullspace: np.ndarray | None = None) -> Hierarchy:
     """Build the AMG hierarchy for CSR matrix A (host, float64).
@@ -149,11 +188,33 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
             B = B[:, None]
     while (levels[-1].n > params.coarse_size
            and len(levels) < params.max_levels):
+        import time
+        if (len(levels) <= params.agg_levels
+                and params.coarsening in ("rs", "pmis", "hmis")
+                and params.aggressive == "pmis2"):
+            out = _coarsen_aggressive(levels[-1].A, params)
+            if out is None:
+                break
+            P, cf = out
+            t = time.perf_counter()
+            R = csr_transpose(P)
+            t = _tick("transpose", t)
+            Ac = galerkin_product(levels[-1].A, P, R=R,
+                                  drop_tol=params.rap_drop_tol)
+            _tick("rap", t)
+            levels[-1].P = P
+            levels[-1].R = R
+            levels[-1].cf = cf
+            if Ac.shape[0] >= 0.95 * levels[-1].n and len(levels) > 1:
+                levels[-1].P = None
+                levels[-1].R = None
+                break
+            levels.append(Level(A=Ac))
+            continue
         out = _coarsen_once(levels[-1].A, params, B)
         if out is None:
             break
         P, cf, agg, B_c = out
-        import time
         t = time.perf_counter()
         R = csr_transpose(P)
         t = _tick("transpose", t)

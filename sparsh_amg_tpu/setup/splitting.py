@@ -169,3 +169,43 @@ def _pmis_python(n, Sp, Si, STp, STi, seed, cf):
                 cf[i] = FPT
     cf[cf == UNASSIGNED] = CPT
     return cf
+
+
+def dist2_cc_graph(S: sp.csr_matrix, cf: np.ndarray) -> sp.csr_matrix:
+    """Distance-2 strength graph among C-points (hypre aggressive
+    coarsening, agg_num_levels): c1 ~ c2 iff c2 in S(c1), or some F-point
+    f has f in S(c1) and c2 in S(f).  Rows/cols are C-local indices; a
+    second PMIS round on this graph yields the aggressive C set without
+    ever forming the intermediate Galerkin operator."""
+    n = S.shape[0]
+    is_c = cf == CPT
+    n_c = int(is_c.sum())
+    cmap = (np.cumsum(is_c, dtype=np.int64) - 1).astype(np.int32)
+    lib = get_lib()
+    if lib is not None and S.nnz >= (1 << 12):
+        Sp = np.ascontiguousarray(S.indptr, dtype=np.int64)
+        Si = np.ascontiguousarray(S.indices, dtype=np.int32)
+        cf8 = np.ascontiguousarray(cf, dtype=np.int8)
+        S2p = np.empty(n_c + 1, dtype=np.int64)
+        nnz = int(lib.dist2_cc_symbolic(n, Sp, Si, cf8, cmap, n_c, S2p))
+        S2i = np.empty(nnz, dtype=np.int32)
+        lib.dist2_cc_fill(n, Sp, Si, cf8, cmap, S2p, S2i)
+        ones = np.ones(nnz, dtype=np.float32)
+        return sp.csr_matrix((ones, S2i, S2p), shape=(n_c, n_c))
+    # numpy oracle: boolean pattern algebra
+    B = sp.csr_matrix(
+        (np.ones(S.nnz, dtype=bool), S.indices, S.indptr), shape=S.shape)
+    B.setdiag(False)
+    B.eliminate_zeros()
+    C = np.where(is_c)[0]
+    F = np.where(~is_c)[0]
+    S_cc = B[C][:, C]
+    S_cf = B[C][:, F]
+    S_fc = B[F][:, C]
+    S2 = (S_cc + S_cf @ S_fc).tocsr()
+    S2.setdiag(False)
+    S2.eliminate_zeros()
+    S2.sort_indices()
+    return sp.csr_matrix(
+        (np.ones(S2.nnz, dtype=np.float32), S2.indices, S2.indptr),
+        shape=(n_c, n_c))
