@@ -758,10 +758,23 @@ def _split_plan(A: sp.csr_matrix, K: int, gap_max: int = _GAP_MAX):
         kq = min((8, 16, 24, 32, 48, 64, 96, 128),
                  key=lambda q: abs(q - 2.0 * mean_len))
         g = np.maximum(1, -(-seg_len // kq))
-        slots = int(g.sum()) * kq
-        # bound the padding blowup (bf16 slots are compute + HBM bytes)
-        if slots > 2.6 * max(A.nnz, 1) + n * 8:
-            return None
+        g_row = np.bincount(seg_row, weights=g, minlength=n)
+        split_total = int(g.sum()) * kq + n * int(g_row.max())
+        mean_deg = A.nnz / max(n, 1)
+        if mean_deg >= 32.0:
+            # long multi-window rows (restrictions): window locality
+            # dominates kernel time (96^3 R0 plain 7.8 ms vs split
+            # 2.3 ms) — accept any split within an absolute pad bound
+            if split_total > 2.6 * max(A.nnz, 1) + n * 8:
+                return None
+        else:
+            # short rows (coarse operators): the plain packing's tiles
+            # are already window-cheap, so splitting must also win the
+            # stream economy (192^3 A1: split 33M slots vs plain 18.5M
+            # -> plain; 96^3 A1: 1.8M vs 2.2M -> split, matching the
+            # measured 0.72 vs 0.85 ms)
+            if split_total > 1.25 * n * K:
+                return None
         return kq, seg_indptr, seg_row, True
     best = None
     for kq in (8, 16, 24, 32, 48, 64, 96, 128):
