@@ -133,13 +133,23 @@ def main():
                        dense_size=8192, cheby_degree_coarse=1,
                        cheby_coarse_from=1, **extra)
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="device")
+    setup_parts = {}
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,
                                                     default_mesh)
         solver = DistAMGSolver(A, mesh=default_mesh(args.dist),
                                params=params, krylov=krylov)
     else:
-        solver = AMGSolver(A, params, krylov)
+        # split the setup phases so the JSON line shows where setup_s
+        # goes (host hierarchy build vs device freeze/upload — the
+        # latter is relay-H2D-bound in this container)
+        from sparsh_amg_tpu.setup.hierarchy import amg_setup
+        t1 = time.perf_counter()
+        hier = amg_setup(A, params)
+        setup_parts["amg_setup_s"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        solver = AMGSolver(A, params, krylov, hierarchy=hier)
+        setup_parts["to_device_s"] = time.perf_counter() - t1
 
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n)
@@ -177,7 +187,10 @@ def main():
         "converged": bool(res.converged),
         "relres": res.relres,
         "solve_s": res.solve_time,
-        "setup_s": res.setup_time,
+        # setup_s stays the FULL setup wall time (hierarchy + freeze +
+        # upload); the *_s parts break it down when running serial
+        "setup_s": res.setup_time + setup_parts.get("amg_setup_s", 0.0),
+        **setup_parts,
         "problem_gen_s": gen_s,
         "levels": solver.hierarchy.n_levels,
         "operator_complexity": solver.hierarchy.operator_complexity(),

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--reps", type=int, default=100,
                     help="chained ops per dispatch")
+    ap.add_argument("--aggressive", default="composed",
+                    choices=["composed", "pmis2"],
+                    help="aggressive-step scheme for the measured "
+                         "hierarchy (composed keeps KBENCH_r2_* "
+                         "comparability)")
     ap.add_argument("--pallas", type=int, default=None,
                     help="1 = force Pallas DIA kernels, 0 = XLA fallback; "
                          "default measures both")
@@ -68,7 +73,8 @@ def main():
                            rap_drop_tol=0.01, agg_levels=1,
                            interp_max_composed=5, intermediate_drop_tol=0.02,
                            band_dtype="bfloat16", dense_size=8192,
-                           cheby_degree_coarse=1, cheby_coarse_from=1)
+                           cheby_degree_coarse=1, cheby_coarse_from=1,
+                           aggressive=args.aggressive)
         A = poisson3d(args.n)
         hier = amg_setup(A, params)
         dev = to_device(hier, params)

@@ -16,9 +16,15 @@ from scipy.sparse import csgraph
 def bandwidth(A: sp.csr_matrix) -> int:
     if A.nnz == 0:
         return 0
-    rows = np.repeat(np.arange(A.shape[0], dtype=np.int64),
-                     np.diff(A.indptr))
-    return int(np.abs(A.indices - rows).max())
+    # per-row column extrema via reduceat — the nnz-length rows array
+    # (np.repeat) cost 23 s cold at 192^3 on this page-fault-bound host
+    indptr = A.indptr
+    nz = np.diff(indptr) > 0
+    starts = indptr[:-1][nz].astype(np.int64)
+    cmax = np.maximum.reduceat(A.indices, starts)
+    cmin = np.minimum.reduceat(A.indices, starts)
+    rows = np.flatnonzero(nz)
+    return int(max((cmax - rows).max(), (rows - cmin).max()))
 
 
 def rcm_permutation(A: sp.csr_matrix) -> np.ndarray:
