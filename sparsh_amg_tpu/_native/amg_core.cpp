@@ -1717,34 +1717,120 @@ void csr_add_fill(int64_t n, double alpha, const int64_t* Ap,
 // Replaces the composed-coarsening path's throwaway intermediate RAP:
 // c1 ~ c2 iff c2 in S(c1) or exists F-point f with f in S(c1), c2 in
 // S(f).  Rows are C-local (cmap).  Two-phase symbolic/fill.
+//
+// Row-local L1-resident hash accumulators throughout (same idea as the
+// hash SpGEMM above): an n-length mark array is 800 MB PER THREAD at
+// the 100M north star, and random scatter into it is DRAM-latency-bound
+// (measured: dist2 46 s, multipass+smooth 236 s at 100M on 4 cores).
+// touched[] records SLOTS, so clearing is O(row).
 // ---------------------------------------------------------------------------
+
+namespace {
+
+struct LocalHashMap {
+  std::vector<int32_t> keys;
+  std::vector<double> vals;
+  uint64_t mask = 0;
+  void init(int64_t cap_pow2, bool with_vals) {
+    keys.assign(cap_pow2, -1);
+    if (with_vals) vals.assign(cap_pow2, 0.0);
+    mask = (uint64_t)cap_pow2 - 1;
+  }
+  // returns the slot for key k; *fresh set when newly inserted
+  inline int64_t slot(int32_t k, bool* fresh) {
+    uint64_t h = ((uint64_t)(uint32_t)k * 0x9E3779B1u) & mask;
+    while (true) {
+      const int32_t cur = keys[h];
+      if (cur == k) { *fresh = false; return (int64_t)h; }
+      if (cur == -1) { keys[h] = k; *fresh = true; return (int64_t)h; }
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+inline int64_t pow2_at_least(int64_t x) {
+  int64_t c = 64;
+  while (c < x) c <<= 1;
+  return c;
+}
+
+}  // namespace
+
+namespace {
+
+// candidate-count bound over C rows (sizes the per-thread hash)
+int64_t dist2_row_bound(int64_t n, const int64_t* S_indptr,
+                        const int32_t* S_indices, const int8_t* cf) {
+  int64_t bound = 1;
+#pragma omp parallel for schedule(static) reduction(max : bound)
+  for (int64_t i = 0; i < n; ++i) {
+    if (cf[i] != 1) continue;
+    int64_t b = 0;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+      const int32_t j = S_indices[k];
+      b += (cf[j] == 1) ? 1 : (S_indptr[j + 1] - S_indptr[j]);
+    }
+    bound = std::max(bound, b);
+  }
+  return bound;
+}
+
+// scans one C row's distance-2 candidates; returns the unique count and,
+// when out != nullptr, writes cmap[candidate] in discovery order
+inline int64_t dist2_row_scan(int64_t i, const int64_t* S_indptr,
+                              const int32_t* S_indices, const int8_t* cf,
+                              const int32_t* cmap, LocalHashMap& hs,
+                              std::vector<int64_t>& touched, int32_t* out) {
+  touched.clear();
+  int64_t cnt = 0;
+  bool fresh;
+  for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+    const int32_t j = S_indices[k];
+    if (j == (int32_t)i) continue;
+    if (cf[j] == 1) {
+      const int64_t s = hs.slot(j, &fresh);
+      if (fresh) {
+        touched.push_back(s);
+        if (out) out[cnt] = cmap[j];
+        ++cnt;
+      }
+    } else {
+      for (int64_t k2 = S_indptr[j]; k2 < S_indptr[j + 1]; ++k2) {
+        const int32_t j2 = S_indices[k2];
+        if (cf[j2] != 1 || j2 == (int32_t)i) continue;
+        const int64_t s = hs.slot(j2, &fresh);
+        if (fresh) {
+          touched.push_back(s);
+          if (out) out[cnt] = cmap[j2];
+          ++cnt;
+        }
+      }
+    }
+  }
+  for (const int64_t s : touched) hs.keys[s] = -1;
+  return cnt;
+}
+
+}  // namespace
 
 int64_t dist2_cc_symbolic(int64_t n, const int64_t* S_indptr,
                           const int32_t* S_indices, const int8_t* cf,
                           const int32_t* cmap, int64_t n_c,
                           int64_t* S2_indptr) {
   std::vector<int64_t> counts(n_c, 0);
+  const int64_t cap = pow2_at_least(
+      2 * dist2_row_bound(n, S_indptr, S_indices, cf));
 #pragma omp parallel
   {
-    std::vector<int64_t> mark(n, -1);
+    LocalHashMap hs;
+    hs.init(cap, false);
+    std::vector<int64_t> touched;
+    touched.reserve(1024);
 #pragma omp for schedule(dynamic, 256)
     for (int64_t i = 0; i < n; ++i) {
       if (cf[i] != 1) continue;
-      int64_t cnt = 0;
-      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
-        const int32_t j = S_indices[k];
-        if (j == (int32_t)i) continue;
-        if (cf[j] == 1) {
-          if (mark[j] != i) { mark[j] = i; ++cnt; }
-        } else {
-          for (int64_t k2 = S_indptr[j]; k2 < S_indptr[j + 1]; ++k2) {
-            const int32_t j2 = S_indices[k2];
-            if (cf[j2] != 1 || j2 == (int32_t)i) continue;
-            if (mark[j2] != i) { mark[j2] = i; ++cnt; }
-          }
-        }
-      }
-      counts[cmap[i]] = cnt;
+      counts[cmap[i]] = dist2_row_scan(i, S_indptr, S_indices, cf, cmap,
+                                       hs, touched, nullptr);
     }
   }
   S2_indptr[0] = 0;
@@ -1757,29 +1843,19 @@ void dist2_cc_fill(int64_t n, const int64_t* S_indptr,
                    const int32_t* S_indices, const int8_t* cf,
                    const int32_t* cmap, const int64_t* S2_indptr,
                    int32_t* S2_indices) {
+  const int64_t cap = pow2_at_least(
+      2 * dist2_row_bound(n, S_indptr, S_indices, cf));
 #pragma omp parallel
   {
-    std::vector<int64_t> mark(n, -1);
+    LocalHashMap hs;
+    hs.init(cap, false);
+    std::vector<int64_t> touched;
+    touched.reserve(1024);
 #pragma omp for schedule(dynamic, 256)
     for (int64_t i = 0; i < n; ++i) {
       if (cf[i] != 1) continue;
-      int64_t out = S2_indptr[cmap[i]];
-      for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
-        const int32_t j = S_indices[k];
-        if (j == (int32_t)i) continue;
-        if (cf[j] == 1) {
-          if (mark[j] != i) { mark[j] = i; S2_indices[out++] = cmap[j]; }
-        } else {
-          for (int64_t k2 = S_indptr[j]; k2 < S_indptr[j + 1]; ++k2) {
-            const int32_t j2 = S_indices[k2];
-            if (cf[j2] != 1 || j2 == (int32_t)i) continue;
-            if (mark[j2] != i) {
-              mark[j2] = i;
-              S2_indices[out++] = cmap[j2];
-            }
-          }
-        }
-      }
+      dist2_row_scan(i, S_indptr, S_indices, cf, cmap, hs, touched,
+                     S2_indices + S2_indptr[cmap[i]]);
     }
   }
 }
@@ -1923,11 +1999,22 @@ int64_t multipass_interp(int64_t n, const int64_t* indptr,
         }
       }
     } else {
-      // distribute a_ij over neighbours' built rows; weak lumps to diag
+      // distribute a_ij over neighbours' built rows; weak lumps to diag.
+      // row-local hash accumulator: an n_c-length acc is DRAM-scatter-
+      // bound (47 MB/thread at the 100M north star)
+      int64_t max_deg = 1;
+#pragma omp parallel for schedule(static) reduction(max : max_deg)
+      for (int64_t idx = 0; idx < cn; ++idx) {
+        const int32_t i = cur[idx];
+        max_deg = std::max(max_deg, indptr[i + 1] - indptr[i]);
+      }
+      const int64_t hcap = pow2_at_least(2 * max_deg * cap);
 #pragma omp parallel
       {
-        std::vector<double> acc(n_c, 0.0);
-        std::vector<int32_t> touched, cols;
+        LocalHashMap hm;
+        hm.init(hcap, true);
+        std::vector<int64_t> touched;
+        std::vector<int32_t> cols;
         std::vector<double> vals;
         std::vector<int64_t> order;
 #pragma omp for schedule(dynamic, 256)
@@ -1935,6 +2022,7 @@ int64_t multipass_interp(int64_t n, const int64_t* indptr,
           const int32_t i = cur[idx];
           touched.clear();
           double denom = 0.0;
+          bool fresh;
           for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
             const int32_t j = indices[k];
             const double a_ij = data[k];
@@ -1942,9 +2030,9 @@ int64_t multipass_interp(int64_t n, const int64_t* indptr,
             if (strong[k] && pass[j] >= 0 && pass[j] < p && P_len[j] > 0) {
               const int64_t base = (int64_t)j * cap;
               for (int32_t s = 0; s < P_len[j]; ++s) {
-                const int32_t c = P_cols[base + s];
-                if (acc[c] == 0.0) touched.push_back(c);
-                acc[c] += a_ij * P_vals[base + s];
+                const int64_t hs = hm.slot(P_cols[base + s], &fresh);
+                if (fresh) { hm.vals[hs] = 0.0; touched.push_back(hs); }
+                hm.vals[hs] += a_ij * P_vals[base + s];
               }
             } else {
               denom += a_ij;    // weak / unusable: lump
@@ -1954,13 +2042,16 @@ int64_t multipass_interp(int64_t n, const int64_t* indptr,
           vals.clear();
           if (denom != 0.0) {
             const double inv = -1.0 / denom;
-            for (int32_t c : touched) {
-              const double w = inv * acc[c];
-              if (w != 0.0) { cols.push_back(c); vals.push_back(w); }
-              acc[c] = 0.0;
+            for (const int64_t hs : touched) {
+              const double w = inv * hm.vals[hs];
+              if (w != 0.0) {
+                cols.push_back(hm.keys[hs]);
+                vals.push_back(w);
+              }
+              hm.keys[hs] = -1;
             }
           } else {
-            for (int32_t c : touched) acc[c] = 0.0;
+            for (const int64_t hs : touched) hm.keys[hs] = -1;
           }
           mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
                           P_vals + (int64_t)i * cap, P_len + i, order);
@@ -1993,27 +2084,35 @@ int64_t interp_jacobi_smooth(int64_t n, const int64_t* indptr,
                              const int32_t* P_cols, const double* P_vals,
                              const int32_t* P_len, int32_t* Q_cols,
                              double* Q_vals, int32_t* Q_len) {
+  (void)n_c;
+  int64_t max_deg = 1;
+#pragma omp parallel for schedule(static) reduction(max : max_deg)
+  for (int64_t i = 0; i < n; ++i)
+    max_deg = std::max(max_deg, indptr[i + 1] - indptr[i]);
+  const int64_t hcap = pow2_at_least(2 * (max_deg + 1) * cap);
 #pragma omp parallel
   {
-    std::vector<double> acc(n_c, 0.0);
-    std::vector<int32_t> touched, cols;
+    LocalHashMap hm;
+    hm.init(hcap, true);
+    std::vector<int64_t> touched;
+    std::vector<int32_t> cols;
     std::vector<double> vals;
     std::vector<int64_t> order;
 #pragma omp for schedule(dynamic, 512)
     for (int64_t i = 0; i < n; ++i) {
       touched.clear();
       double D = 0.0;
-      double a_ii = 0.0;
+      bool fresh;
       for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
         const int32_t j = indices[k];
         const double v = data[k];
-        if (j == (int32_t)i) { a_ii = v; D += v; continue; }
+        if (j == (int32_t)i) { D += v; continue; }
         if (strong[k]) {
           const int64_t base = (int64_t)j * cap;
           for (int32_t s = 0; s < P_len[j]; ++s) {
-            const int32_t c = P_cols[base + s];
-            if (acc[c] == 0.0) touched.push_back(c);
-            acc[c] += v * P_vals[base + s];
+            const int64_t hs = hm.slot(P_cols[base + s], &fresh);
+            if (fresh) { hm.vals[hs] = 0.0; touched.push_back(hs); }
+            hm.vals[hs] += v * P_vals[base + s];
           }
         } else {
           D += v;   // weak off-diagonal lumps into the diagonal
@@ -2022,24 +2121,24 @@ int64_t interp_jacobi_smooth(int64_t n, const int64_t* indptr,
       const double s0 = (D != 0.0) ? -omega / D : 0.0;
       // scale the strong-neighbour sum by -omega/D in place (a zero
       // filtered diagonal drops it — nothing sane to divide by)
-      for (int32_t c : touched) acc[c] *= s0;
+      for (const int64_t hs : touched) hm.vals[hs] *= s0;
       // merge the (1-omega) own-row term
       {
         const int64_t base = (int64_t)i * cap;
         for (int32_t s = 0; s < P_len[i]; ++s) {
-          const int32_t c = P_cols[base + s];
           const double w = (1.0 - omega) * P_vals[base + s];
           if (w == 0.0) continue;
-          if (acc[c] == 0.0) touched.push_back(c);
-          acc[c] += w;
+          const int64_t hs = hm.slot(P_cols[base + s], &fresh);
+          if (fresh) { hm.vals[hs] = 0.0; touched.push_back(hs); }
+          hm.vals[hs] += w;
         }
       }
       cols.clear();
       vals.clear();
-      for (int32_t c : touched) {
-        const double w = acc[c];
-        if (w != 0.0) { cols.push_back(c); vals.push_back(w); }
-        acc[c] = 0.0;
+      for (const int64_t hs : touched) {
+        const double w = hm.vals[hs];
+        if (w != 0.0) { cols.push_back(hm.keys[hs]); vals.push_back(w); }
+        hm.keys[hs] = -1;
       }
       mp_truncate_row(cols, vals, cap, Q_cols + (int64_t)i * cap,
                       Q_vals + (int64_t)i * cap, Q_len + i, order);

@@ -39,6 +39,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--agg-levels", type=int, default=0,
                    help="aggressive (composed double) coarsening on the "
                         "first k levels")
+    p.add_argument("--aggressive", default="composed",
+                   choices=["composed", "pmis2"],
+                   help="aggressive-step scheme: composed = two full "
+                        "rounds via an intermediate RAP; pmis2 = second "
+                        "PMIS on the distance-2 C-C graph + smoothed "
+                        "multipass interpolation (no intermediate "
+                        "operator, ~2x faster setup)")
     p.add_argument("--rap-drop-tol", type=float, default=0.0,
                    help="Galerkin operator drop/lump filter threshold")
     p.add_argument("--smoother", default="jacobi",
@@ -96,6 +103,7 @@ def run(argv=None) -> dict:
                        coarse_solver=args.coarse_solver,
                        interp_max=args.interp_max,
                        agg_levels=args.agg_levels,
+                       aggressive=args.aggressive,
                        rap_drop_tol=args.rap_drop_tol)
     krylov = KrylovParams(method=args.krylov, tol=args.tol,
                           maxiter=args.maxiter, refine=not args.no_refine,
