@@ -273,6 +273,11 @@ def get_lib():
             _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _i64, _i64,
             _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
         ]
+        lib.slot_compact.restype = None
+        lib.slot_compact.argtypes = [
+            _i64, _i64, _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+        ]
         lib.interp_jacobi_smooth.restype = _i64
         lib.interp_jacobi_smooth.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),

@@ -2069,6 +2069,24 @@ int64_t multipass_interp(int64_t n, const int64_t* indptr,
   return nnz;
 }
 
+// Slot-layout (n, cap) + lengths -> CSR arrays, row-parallel (the numpy
+// boolean-mask compaction writes ~6 GB of fresh temporaries at 100M).
+void slot_compact(int64_t n, int64_t cap, const int32_t* P_cols,
+                  const double* P_vals, const int32_t* P_len,
+                  const int64_t* indptr, int32_t* out_idx,
+                  double* out_val) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t base = i * cap;
+    int64_t o = indptr[i];
+    for (int32_t s = 0; s < P_len[i]; ++s) {
+      out_idx[o] = P_cols[base + s];
+      out_val[o] = P_vals[base + s];
+      ++o;
+    }
+  }
+}
+
 // One damped-Jacobi pass over a slot-layout interpolation, against the
 // strength-filtered operator, truncating back to cap:
 //   P'_i = (1-omega) P_i - (omega / D_i) sum_{j strong} a_ij P_j,

@@ -282,9 +282,10 @@ def multipass_interpolation(A: sp.csr_matrix, strong_mask: np.ndarray,
         strong_u8 = np.ascontiguousarray(strong_mask, dtype=np.uint8)
         cf_i8 = np.ascontiguousarray(cf, dtype=np.int8)
         cmap32 = cmap.astype(np.int32)
+        from .._native import empty_prefaulted
         cap = int(max_per_row)
-        P_cols = np.empty((n, cap), dtype=np.int32)
-        P_vals = np.empty((n, cap), dtype=np.float64)
+        P_cols = empty_prefaulted((n, cap), np.int32)
+        P_vals = empty_prefaulted((n, cap), np.float64)
         P_len = np.empty(n, dtype=np.int32)
         lib.multipass_interp(n, indptr, indices, data, strong_u8, cf_i8,
                              cmap32, n_c, cap, P_cols.reshape(-1),
@@ -294,8 +295,8 @@ def multipass_interpolation(A: sp.csr_matrix, strong_mask: np.ndarray,
             # (see interp_jacobi_smooth; a generic-SpGEMM formulation of
             # the identical update cost 10 s at 192^3 in per-row hash
             # setup for these <= cap-entry rows)
-            Q_cols = np.empty((n, cap), dtype=np.int32)
-            Q_vals = np.empty((n, cap), dtype=np.float64)
+            Q_cols = empty_prefaulted((n, cap), np.int32)
+            Q_vals = empty_prefaulted((n, cap), np.float64)
             Q_len = np.empty(n, dtype=np.int32)
             lib.interp_jacobi_smooth(n, indptr, indices, data, strong_u8,
                                      float(smooth_omega), n_c, cap,
@@ -307,9 +308,12 @@ def multipass_interpolation(A: sp.csr_matrix, strong_mask: np.ndarray,
         lens = P_len.astype(np.int64)
         P_indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=P_indptr[1:])
-        keep = np.arange(cap, dtype=np.int32)[None, :] < P_len[:, None]
-        P = sp.csr_matrix((P_vals[keep], P_cols[keep], P_indptr),
-                          shape=(n, n_c))
+        nnz = int(P_indptr[-1])
+        P_indices = empty_prefaulted(nnz, np.int32)
+        P_data = empty_prefaulted(nnz, np.float64)
+        lib.slot_compact(n, cap, P_cols.reshape(-1), P_vals.reshape(-1),
+                         P_len, P_indptr, P_indices, P_data)
+        P = sp.csr_matrix((P_data, P_indices, P_indptr), shape=(n, n_c))
         P.sort_indices()      # rows come out in discovery order
         return P
 

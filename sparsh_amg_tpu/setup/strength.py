@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from .._native import get_lib, csr_arrays
+from .._native import get_lib, csr_arrays, empty_prefaulted
 
 
 def _rows_of_nnz(A: sp.csr_matrix) -> np.ndarray:
@@ -27,12 +27,18 @@ def _strength_csr(lib, A: sp.csr_matrix, indptr, indices,
     S_indptr = np.empty(n + 1, dtype=np.int64)
     lib.mask_indptr(n, indptr, strong, S_indptr)
     nnz = int(S_indptr[-1])
-    S_indices = np.empty(nnz, dtype=np.int32)
+    S_indices = empty_prefaulted(nnz, np.int32)
     lib.mask_compress(n, indptr, indices, strong, S_indptr, S_indices)
-    ones = np.empty(nnz, dtype=np.float32)
-    lib.fill_f32(nnz, 1.0, ones)   # parallel first-touch: np.ones is 2.5 s
-    return sp.csr_matrix((ones, S_indices,                  # at 42M edges
-                          S_indptr), shape=A.shape)
+    # S.data is never read in-package (splitting/aggregation/dist2 use
+    # only the pattern) but scipy wants an array: a length-nnz broadcast
+    # VIEW of one float costs 4 bytes instead of a 2.4 GB ones fill at
+    # the 100M north star.  Consumers that need real data (tests, users)
+    # go through .toarray()/@ which read it fine; anything mutating S
+    # would raise on the read-only view, which is the correct signal.
+    ones = np.broadcast_to(np.float32(1.0), (nnz,))
+    S = sp.csr_matrix(A.shape)
+    S.data, S.indices, S.indptr = ones, S_indices, S_indptr
+    return S
 
 
 def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
@@ -41,7 +47,7 @@ def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
     lib = get_lib()
     if lib is not None:
         indptr, indices, data = csr_arrays(A)
-        strong = np.empty(len(indices), dtype=np.uint8)
+        strong = empty_prefaulted(len(indices), np.uint8)
         lib.soc_classical(n, indptr, indices, data, float(theta), strong)
         return strong.view(bool), _strength_csr(lib, A, indptr, indices,
                                                 strong)
@@ -74,7 +80,7 @@ def symmetric_strength(A: sp.csr_matrix, theta: float = 0.25):
     lib = get_lib()
     if lib is not None:
         indptr, indices, data = csr_arrays(A)
-        strong = np.empty(len(indices), dtype=np.uint8)
+        strong = empty_prefaulted(len(indices), np.uint8)
         lib.soc_symmetric(n, indptr, indices, data, float(theta), strong)
         return strong.view(bool), _strength_csr(lib, A, indptr, indices,
                                                 strong)
