@@ -36,6 +36,9 @@ PARITY_TABLE = [
      AMGParams(smoother="chebyshev"), KrylovParams(), 12),
     ("poisson3d_24_aggressive", lambda: poisson3d(24),
      AMGParams(smoother="chebyshev", **AGGRESSIVE), KrylovParams(), 12),
+    ("poisson3d_24_aggressive_pmis2", lambda: poisson3d(24),
+     AMGParams(smoother="chebyshev", interp_max_composed=5,
+               aggressive="pmis2", **AGGRESSIVE), KrylovParams(), 12),
     ("anisotropic2d_48_agg_W_bicgstab", lambda: anisotropic2d(48),
      AMGParams(coarsening="aggregation", interpolation="smoothed",
                cycle="W", smoother="chebyshev"),
