@@ -346,3 +346,40 @@ def test_fused_rap_matches_two_spgemm_path():
         assert Ac1.shape == Ac2.shape and Ac1.nnz == Ac2.nnz
         D = abs(Ac1 - Ac2)
         assert D.nnz == 0 or D.max() < 1e-12 * abs(Ac2).max()
+
+
+def test_csr_add_matches_scipy():
+    import scipy.sparse as sp
+    from sparsh_amg_tpu.setup.galerkin import csr_add
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        n, m = int(rng.integers(5, 400)), int(rng.integers(5, 400))
+        A = sp.random(n, m, density=0.1, format="csr", random_state=rng)
+        B = sp.random(n, m, density=0.1, format="csr", random_state=rng)
+        A.sort_indices()
+        B.sort_indices()
+        C = csr_add(0.3, A, -1.7, B)
+        ref = (0.3 * A - 1.7 * B).tocsr()
+        assert abs(C - ref).max() < 1e-12
+
+
+def test_weak_row_sum_matches_numpy():
+    from sparsh_amg_tpu._native import get_lib, csr_arrays
+    from sparsh_amg_tpu.setup.strength import classical_strength
+    from sparsh_amg_tpu.models.poisson import poisson2d
+    lib = get_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("no native lib")
+    A = poisson2d(20)
+    strong, S = classical_strength(A, 0.25)
+    indptr, indices, data = csr_arrays(A)
+    out = np.empty(A.shape[0])
+    lib.weak_row_sum(A.shape[0], indptr, indices, data,
+                     np.ascontiguousarray(strong, dtype=np.uint8), out)
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    offdiag = A.indices != rows
+    ref = np.zeros(n)
+    np.add.at(ref, rows, np.where(offdiag & ~strong, A.data, 0.0))
+    np.testing.assert_allclose(out, ref, atol=1e-13)
