@@ -14,8 +14,13 @@ floating-point by default.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1 for fp32 Dekker splitting
+# 2^12 + 1 for fp32 Dekker splitting.  numpy (not jnp) scalar: a module-
+# level jnp constant would initialize the JAX backend at import time,
+# which breaks multi-process use (jax.distributed.initialize must run
+# before the first backend touch — see parallel.multihost).
+_SPLIT = np.float32(4097.0)
 
 
 def two_sum(a, b):

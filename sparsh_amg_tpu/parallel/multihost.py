@@ -1,34 +1,60 @@
-"""Multi-host initialization (SURVEY.md §5.8: the reference launches one
-MPI rank per GPU across nodes; the TPU-native equivalent is
-`jax.distributed.initialize()` + a mesh spanning every host's chips).
+"""Multi-host / multi-process execution (SURVEY.md §5.8, §4.4).
 
-On a pod slice each host runs the same program; after `init_multihost()`
-`jax.devices()` returns the global device list and the solvers in this
-package work unchanged — `DistAMGSolver(A, mesh=global_mesh(...))` row-
-shards across the whole slice, halo `ppermute`s ride ICI within a host and
-DCN between hosts through the same collectives.
+The reference launches one MPI rank per GPU across nodes; the TPU-native
+equivalent is `jax.distributed.initialize()` + a mesh spanning every
+host's chips.  On a pod slice each host runs the same SPMD program; after
+`init_multihost()` `jax.devices()` returns the global device list and
+`DistAMGSolver` row-shards across the whole slice — halo `ppermute`s ride
+ICI within a host and DCN between hosts through the same collectives.
 
-Untestable in this single-host container; exercised logically by the
-8-virtual-device CPU mesh tests (SURVEY.md §4.4).
+Multi-process correctness is testable WITHOUT a pod (SURVEY.md §4.4:
+"multi-host logic testable via `jax.distributed` multi-process on one
+machine"): `launch_processes()` spawns N CPU processes, each with its own
+virtual devices federated through the coordination service (gloo
+collectives), and the worker below runs a full distributed solve whose
+iteration count and answer must match the single-process run —
+`tests/test_multihost.py` asserts exactly that.
+
+The two primitives every multi-process-clean data path needs:
+
+* `put_sharded`  — upload a host-stacked pytree so each process feeds only
+  its ADDRESSABLE shards (`jax.make_array_from_callback`); a bare
+  `device_put` of a global array is single-process-only.
+* `gather_to_host` — fetch a row-sharded global array back to every host
+  (resharding identity jit to a fully-replicated layout); a bare
+  `device_get` of a non-addressable array raises.
 """
 from __future__ import annotations
 
+import json
+import os
+import socket
+import subprocess
+import sys
+
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_multihost(coordinator_address: str | None = None,
                    num_processes: int | None = None,
-                   process_id: int | None = None) -> None:
+                   process_id: int | None = None,
+                   cpu_devices_per_process: int | None = None) -> None:
     """Initialize the JAX distributed runtime (no-op if single-process).
 
     On TPU pods the arguments are auto-detected from the environment;
     pass them explicitly for CPU/GPU clusters (the reference's mpirun
-    analog: one process per host).
+    analog: one process per host).  ``cpu_devices_per_process`` forces the
+    CPU backend with that many virtual devices per process and gloo
+    cross-process collectives — the pod-less test configuration.
     """
     if num_processes is not None and num_processes <= 1:
         return
+    if cpu_devices_per_process is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", cpu_devices_per_process)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -42,3 +68,160 @@ def init_multihost(coordinator_address: str | None = None,
 def global_mesh(axis: str = "rows") -> Mesh:
     """1-D mesh over every device of every participating host."""
     return Mesh(np.array(jax.devices()), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Multi-process-safe data movement
+# ---------------------------------------------------------------------------
+
+def put_sharded(tree, mesh: Mesh, axis: str):
+    """Shard every leaf's leading axis over ``mesh`` — multi-process-safe.
+
+    Single-process this is exactly ``jax.device_put(tree, sh)``.  Multi-
+    process, each process holds the full host-stacked array (leading axis
+    = global shard count) but only its addressable devices' rows are
+    uploaded, via ``jax.make_array_from_callback`` — the replacement for
+    the reference's per-rank H2D of its row block (SURVEY.md §3.5).
+    """
+    sh = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def put_leaf(leaf):
+        host = np.asarray(leaf)
+        return jax.make_array_from_callback(host.shape, sh,
+                                            lambda idx: host[idx])
+    return jax.tree.map(put_leaf, tree)
+
+
+def replicate_fn(mesh: Mesh):
+    """Jitted identity that reshards to fully-replicated — the multi-
+    process-safe way to read a row-sharded result back on every host
+    (cache the returned callable: it compiles once per shape)."""
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+
+
+def gather_to_host(x, mesh: Mesh, _rep=None) -> np.ndarray:
+    """Fetch a (possibly non-addressable) global array to host numpy."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+    rep = _rep if _rep is not None else replicate_fn(mesh)
+    return np.asarray(jax.device_get(rep(x)))
+
+
+# ---------------------------------------------------------------------------
+# Pod-less multi-process harness (launcher + worker)
+# ---------------------------------------------------------------------------
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def launch_processes(num_processes: int, n: int = 24,
+                     devices_per_process: int = 2,
+                     timeout: float = 900.0) -> list[dict]:
+    """Spawn ``num_processes`` federated CPU worker processes, each running
+    the full distributed solve below; returns their result dicts.
+
+    This is the container's stand-in for `mpirun -np N` on a pod: same
+    program, same collectives, real process boundaries (gloo over TCP).
+    """
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    # the worker sizes its own virtual-device count; strip any inherited
+    # force_host flag (pytest's conftest sets 8) so they don't fight
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    outs = [os.path.join("/tmp", f"sparsh_mp_{port}_{i}.json")
+            for i in range(num_processes)]
+    procs = []
+    for i in range(num_processes):
+        cmd = [sys.executable, "-m", "sparsh_amg_tpu.parallel.multihost",
+               "--process-id", str(i),
+               "--num-processes", str(num_processes),
+               "--coordinator", f"localhost:{port}",
+               "--devices-per-process", str(devices_per_process),
+               "--n", str(n), "--out", outs[i]]
+        procs.append(subprocess.Popen(cmd, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT))
+    results = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=timeout)
+        if p.returncode != 0:
+            for q in procs:
+                q.kill()
+            raise RuntimeError(
+                f"worker {i} failed (rc={p.returncode}):\n"
+                + out.decode(errors="replace")[-4000:])
+        with open(outs[i]) as f:
+            results.append(json.load(f))
+        os.remove(outs[i])
+    return results
+
+
+def _worker_main(argv=None) -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--devices-per-process", type=int, default=2)
+    ap.add_argument("--n", type=int, default=24)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_sparsh_amg")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    init_multihost(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id,
+                   cpu_devices_per_process=args.devices_per_process)
+
+    from ..models.poisson import poisson3d
+    from ..params import AMGParams, KrylovParams
+    from .solver import DistAMGSolver
+
+    A = poisson3d(args.n)
+    params = AMGParams(smoother="chebyshev", coarsening="pmis",
+                       interpolation="extpi", interp_max=4,
+                       rap_drop_tol=0.01, agg_levels=1,
+                       interp_max_composed=5, intermediate_drop_tol=0.02,
+                       aggressive="pmis2", band_dtype="bfloat16",
+                       dense_size=2048, cheby_degree_coarse=1,
+                       cheby_coarse_from=1)
+    solver = DistAMGSolver(A, mesh=global_mesh(), params=params,
+                           krylov=KrylovParams(tol=1e-8, maxiter=60))
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+    res = solver.solve(b)
+    r = A @ res.x - b
+    out = {
+        "process_id": args.process_id,
+        "process_count": jax.process_count(),
+        "n_devices": len(jax.devices()),
+        "n_local_devices": len(jax.local_devices()),
+        "n": A.shape[0],
+        "iterations": res.iterations,
+        "passes": res.refine_passes,
+        "relres": res.relres,
+        "converged": bool(res.converged),
+        "true_relres": float(np.linalg.norm(r) / np.linalg.norm(b)),
+        "x_norm": float(np.linalg.norm(res.x)),
+        "x_head": np.asarray(res.x[:8], dtype=np.float64).tolist(),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"worker {args.process_id}: iters={res.iterations} "
+          f"relres={res.relres:.2e} devices={len(jax.devices())}")
+
+
+if __name__ == "__main__":
+    _worker_main()

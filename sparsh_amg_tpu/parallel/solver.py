@@ -28,6 +28,7 @@ from ..solve.krylov import pcg, bicgstab, stationary
 from ..solve.solver import SolveResult
 from .dist import pdot
 from .hierarchy import to_dist, fine_df64, local, DistHierarchy
+from .multihost import put_sharded, gather_to_host, replicate_fn
 
 
 def default_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
@@ -72,9 +73,13 @@ class DistAMGSolver:
         self.part = self.dist.parts[0]
         self.A_df = fine_df64(self.hierarchy, self.dist, self.params,
                               axis=self.axis)
-        sh = NamedSharding(self.mesh, P(self.axis))
-        self.levels = jax.device_put(self.dist.levels, sh)
-        self.A_df = jax.device_put(self.A_df, sh)
+        # multi-process-safe upload/readback (parallel.multihost): each
+        # process feeds only its addressable shards; single-process this
+        # degenerates to a plain device_put / device_get
+        self.levels = put_sharded(self.dist.levels, self.mesh, self.axis)
+        self.A_df = put_sharded(self.A_df, self.mesh, self.axis)
+        self._replicate = replicate_fn(self.mesh) \
+            if jax.process_count() > 1 else None
         self._build_jitted()
         self.setup_time = time.perf_counter() - t0
 
@@ -236,9 +241,11 @@ class DistAMGSolver:
         return out
 
     def _put(self, v_np: np.ndarray) -> jax.Array:
-        return jax.device_put(
-            jnp.asarray(v_np, dtype=jnp.float32),
-            NamedSharding(self.mesh, P(self.axis)))
+        return put_sharded(np.asarray(v_np, dtype=np.float32),
+                           self.mesh, self.axis)
+
+    def _get(self, x) -> np.ndarray:
+        return gather_to_host(x, self.mesh, self._replicate)
 
     def _inner_solve(self, levels, b_st, tol, maxiter):
         """Inner fp32 solve; dispatches on loop_mode (see solve.solver).
@@ -295,8 +302,8 @@ class DistAMGSolver:
             rnsq = float(self._true_resnorm(self.A_df, b_hi, b_lo,
                                             x, zeros_x))
             relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
-            x = self.part.unpad_vec(np.asarray(
-                jax.device_get(x), dtype=np.float64).reshape(-1))
+            x = self.part.unpad_vec(
+                np.asarray(self._get(x), dtype=np.float64).reshape(-1))
             return SolveResult(self._unperm(x), relres <= tol, relres,
                                iters, 1, self.setup_time,
                                time.perf_counter() - t0, [(iters, relres)])
@@ -331,8 +338,7 @@ class DistAMGSolver:
             if relres <= tol:
                 converged = True
                 break
-        x = df64.to_f64_np(np.asarray(jax.device_get(x_hi)),
-                           np.asarray(jax.device_get(x_lo)))
+        x = df64.to_f64_np(self._get(x_hi), self._get(x_lo))
         x = self.part.unpad_vec(x)
         return SolveResult(self._unperm(x), converged, relres, total_iters,
                            passes, self.setup_time,
