@@ -288,10 +288,21 @@ def gell_gather_pallas(wwords, counts, packed, vals, x, *, s: int, tr: int,
         out_specs=pl.BlockSpec((1, TR, LANE),
                                lambda t, w_ref, c_ref: (t, 0, 0)),
     )
+    # propagate the union of the inputs' varying-mesh-axes sets to the
+    # output aval so the kernel is legal inside a check_vma=True shard_map
+    # (the distributed solver, parallel/solver.py): the vector may be
+    # replicated while the tables vary (ReplSrc) or vice versa.  Outside
+    # shard_map every vma is empty — no-op.
+    vma = None
+    for a in (x, wwords, counts, packed, vals):
+        v = getattr(jax.typeof(a), "vma", None)
+        if v is not None:
+            vma = v if vma is None else (vma | v)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, TR, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TR, LANE), jnp.float32,
+                                       vma=vma),
         interpret=interpret,
     )(wwords, counts, *([x2] * S), packed, vals)
     return out.reshape(-1)

@@ -36,6 +36,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _vma_union(*arrays):
+    """Union of the inputs' varying-mesh-axes sets, so pallas_call
+    out_shapes are legal inside a check_vma=True shard_map (the
+    distributed solver's replicated levels call these fused kernels
+    shard-locally).  Outside shard_map every vma is empty — no-op."""
+    vma = None
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v is not None:
+            vma = v if vma is None else (vma | v)
+    return vma
+
+
 def _shifted(xw, q: int, r: int, R: int, lane_idx):
     """rows [q, q+R) of the window, flat-shifted left by r lanes."""
     X1 = xw[q: q + R, :]
@@ -133,7 +146,9 @@ def _dia_fused(mulvec, bands, offsets, n_pad, extras, scalars, tail,
     ex2 = [e.reshape(rows, LANE) for e in extras]
     scal = (jnp.stack([jnp.asarray(s, jnp.float32) for s in scalars])
             .reshape(1, n_sc) if n_sc else None)
-    out_shape = tuple(jax.ShapeDtypeStruct((rows, LANE), mulvec.dtype)
+    vma = _vma_union(mulvec, bands, *extras, *scalars)
+    out_shape = tuple(jax.ShapeDtypeStruct((rows, LANE), mulvec.dtype,
+                                           vma=vma)
                       for _ in range(n_out))
 
     def run_tail(az, ex_refs, scal_ref, outs):
@@ -305,7 +320,8 @@ def dia_spmv_pallas(bands: jax.Array, x: jax.Array, offsets: tuple,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype,
+                                           vma=_vma_union(x, bands)),
             cost_estimate=cost,
             interpret=interpret,
         )(x2, b3)
@@ -333,7 +349,8 @@ def dia_spmv_pallas(bands: jax.Array, x: jax.Array, offsets: tuple,
         ],
         out_specs=pl.BlockSpec((R, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), x.dtype,
+                                       vma=_vma_union(x, bands)),
         cost_estimate=cost,
         interpret=interpret,
     )(x2, x2, x2, b3)

