@@ -96,7 +96,13 @@ def main():
         t0 = time.perf_counter()
         float(jnp.sum(bw_fn(xbw * 1.0000001)))
         bw = 2 * nv * 4 * 20 / (time.perf_counter() - t0)
-        emit({"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9})
+        # fixed spec denominator next to the measurement: fractions are
+        # reported against BOTH (VERDICT r2 weak #1 — the un-chained
+        # measured denominator made hbm_frac nonsense on bad-relay days)
+        from sparsh_amg_tpu.utils.meminfo import hbm_spec_bw
+        bw_spec = hbm_spec_bw()
+        emit({"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9,
+              "spec_GBs": bw_spec / 1e9})
 
         from sparsh_amg_tpu.ops.gell import GellMatrix, SplitGell
 
@@ -150,6 +156,7 @@ def main():
                 "nnz_per_s": nnz / dt,
                 "bytes_per_op": int(b),
                 "hbm_frac": (b / dt) / bw,
+                "hbm_frac_spec": (b / dt) / bw_spec,
             })
 
         # transfer operators (prolongation/restriction): the gather-
@@ -184,6 +191,7 @@ def main():
                     "shape": list(hop.shape), "nnz": int(nnz),
                     "per_op_ms": dt * 1e3, "nnz_per_s": nnz / dt,
                     "bytes_per_op": int(b), "hbm_frac": (b / dt) / bw,
+                    "hbm_frac_spec": (b / dt) / bw_spec,
                 })
 
         # full V-cycle chained
