@@ -846,8 +846,22 @@ def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
         # sort sub-rows by first-source window so each part tile's rows
         # share windows (a tile of row-ordered sub-rows interleaves every
         # plane its rows touch — measured 6.5ms vs 4.9ms at 96^3 R0; the
-        # grouped layout is what actually cuts live window passes)
+        # grouped layout is what actually cuts live window passes).
+        #
+        # The sort must stay GLOBAL: each row's segments read ~one window
+        # EACH (that's why they were cut), so any block-local sort mixes
+        # every plane the block's rows touch back into each part tile —
+        # probed round 3: blocks of 8k/32k/128k slots give part mean
+        # live-windows 15.9/10.4/6.4 vs 2.58 global, far outweighing the
+        # comb relief (27.5 -> ~6).  The comb pays the global scatter,
+        # but it is 8x smaller.  SPARSH_GELL_GROUP_SLOTS (0 = global)
+        # keeps the probe reproducible.
         key = A.indices[part_indptr[:-1]].astype(np.int64) >> 10
+        group_slots = int(os.environ.get("SPARSH_GELL_GROUP_SLOTS", 0))
+        if group_slots > 0:
+            b_sub = max(group_slots // max(kq, 1), 1)
+            blk = np.arange(n_split, dtype=np.int64) // b_sub
+            key = key + blk * (np.int64(1) << 32)
         perm = np.argsort(key, kind="stable")
         lens = np.diff(part_indptr)
         new_lens = lens[perm]
