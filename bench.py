@@ -247,6 +247,10 @@ def main():
         "backend": jax.default_backend(),
         "device_bytes": solver.device_bytes(),
     }
+    if not args.dist:
+        from sparsh_amg_tpu.utils.accounting import footprint_table
+        out["device_bytes_by_level"] = footprint_table(solver.device,
+                                                       solver.A_df)
     from sparsh_amg_tpu.utils.meminfo import device_memory_stats
     stats = device_memory_stats()
     for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):

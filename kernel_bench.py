@@ -93,9 +93,18 @@ def main():
                 v = v * 1.0000001
             return v
         bw_fn(xbw).block_until_ready()
-        t0 = time.perf_counter()
-        float(jnp.sum(bw_fn(xbw * 1.0000001)))
-        bw = 2 * nv * 4 * 20 / (time.perf_counter() - t0)
+        # median of 3 fresh-content runs: a single reading taken on a
+        # cold link recorded 2.1 GB/s in KBENCH_r3 xla mode (same chained
+        # code measured 188.5 GB/s minutes later) and poisoned every
+        # hbm_frac of that suite
+        ts = []
+        for i in range(3):
+            xi = xbw * (1.0 + 1e-6 * (i + 1))
+            xi.block_until_ready()
+            t0 = time.perf_counter()
+            float(jnp.sum(bw_fn(xi)))
+            ts.append(time.perf_counter() - t0)
+        bw = 2 * nv * 4 * 20 / float(np.median(ts))
         # fixed spec denominator next to the measurement: fractions are
         # reported against BOTH (VERDICT r2 weak #1 — the un-chained
         # measured denominator made hbm_frac nonsense on bad-relay days)

@@ -189,7 +189,7 @@ def _decode_windows_jnp(wwords, S: int, wmode: int):
 def _gell_gather_xla(G: GellMatrix, x):
     """Oracle / non-TPU fallback: reconstruct absolute indices, one flat
     gather.  Same one-shot shape as the classical ELL path."""
-    packed = G.packed
+    packed = G.packed.astype(jnp.int32)
     sel = packed >> 10
     sub = (packed >> 7) & 7
     ln = packed & 127
@@ -243,6 +243,8 @@ def gell_gather_pallas(wwords, counts, packed, vals, x, *, s: int, tr: int,
         p_ref, v_ref, o_ref = refs[S], refs[S + 1], refs[S + 2]
         t = pl.program_id(0)
         pk = p_ref[0]
+        if pk.dtype != jnp.int32:
+            pk = pk.astype(jnp.int32)       # uint16 table: zero-extend
         sel = jax.lax.shift_right_logical(pk, 10)
         q = jax.lax.bitwise_and(jax.lax.shift_right_logical(pk, 7), 7)
         ln = jax.lax.bitwise_and(pk, 127)
@@ -452,11 +454,12 @@ def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
     LANE_ = LANE
     packed = packed.reshape(n_tiles, TR, LANE_)
     if S <= 64:
-        # sel<<10|q<<7|lane < 65536 when S <= 64: upload HALF the bytes
-        # (uint16) and zero-extend to int32 on device — packed tables are
-        # the largest int arrays of the hierarchy and the H2D link is the
-        # setup bottleneck (50 MB/s through the relay)
-        packed_dev = jnp.asarray(packed.astype(np.uint16)).astype(jnp.int32)
+        # sel<<10|q<<7|lane < 65536 when S <= 64: STORE uint16 on device
+        # too (not just the H2D transfer) — the packed tables are the
+        # largest arrays of the whole hierarchy (526 MB of the 1.24 GB
+        # footprint at 192^3, round-3 audit) and the kernel zero-extends
+        # per tile at no measurable cost
+        packed_dev = jnp.asarray(packed.astype(np.uint16))
     else:
         packed_dev = jnp.asarray(packed, dtype=jnp.int32)
     return GellMatrix(
@@ -895,8 +898,9 @@ def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
     # them (comb's max degree legitimately exceeds 4x its mean)
     Gp = csr_to_gell(part, dtype=dtype, s_max=s_max, k_cap=kq,
                      tr_force=tr_force)
+    comb_tr = int(os.environ.get("SPARSH_GELL_COMB_TR", 0)) or None
     Gc = csr_to_gell(comb, dtype=dtype, s_max=s_max, n_pad=n_pad,
-                     k_cap=int(g_row.max()) if n else 1)
+                     k_cap=int(g_row.max()) if n else 1, tr_force=comb_tr)
     if Gp is None or Gc is None:
         return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad)
     return SplitGell(part=Gp, comb=Gc, n_rows=n, n_cols=m)

@@ -215,6 +215,10 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                                   dense_size=params.dense_size,
                                   pad_multiple=2048, prefer_gell=True)
         n_pad = dev_A.n_pad
+        # l1_dinv is consumed only by the l1-Jacobi/gs2 smoothers and the
+        # no-inverse coarse fallback — for the Chebyshev/Jacobi flagship
+        # it was 2x28 MB of dead HBM at 192^3 (round-3 footprint audit)
+        need_l1 = params.smoother in ("l1jacobi", "gs2") or is_coarsest
         if (fine_reuse and 0 in fine_hi.offsets and n > _POWER_MAX_N
                 and params.lambda_max != "power"
                 and jnp.dtype(params.dtype) == jnp.float32):
@@ -224,19 +228,23 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
             # the hybrid estimate is pure Gershgorin anyway
             dinv_j, l1_dinv_j, lam = _dia_diag_stats(
                 fine_hi.bands, fine_hi.offsets.index(0))
+            if not need_l1:
+                l1_dinv_j = None
         else:
             d = A.diagonal()
             dinv = np.zeros(n_pad)
             dinv[:n] = np.where(d != 0, 1.0 / d, 0.0)
             # l1-Jacobi diagonal: a_ii + sum_j|a_ij| off-diagonal
             absrow = abs_row_sum(A)
-            l1d = d + (absrow - np.abs(d))
-            l1_dinv = np.zeros(n_pad)
-            l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
             lam = lambda_max_estimate(A, d, absrow, params.lambda_max) \
                 if not is_coarsest or n > 1 else 1.0
             dinv_j = jnp.asarray(dinv, dtype=dtype)
-            l1_dinv_j = jnp.asarray(l1_dinv, dtype=dtype)
+            l1_dinv_j = None
+            if need_l1:
+                l1d = d + (absrow - np.abs(d))
+                l1_dinv = np.zeros(n_pad)
+                l1_dinv[:n] = np.where(l1d != 0, 1.0 / l1d, 0.0)
+                l1_dinv_j = jnp.asarray(l1_dinv, dtype=dtype)
 
         P = R = coarse_inv = None
         if not is_coarsest:

@@ -98,6 +98,37 @@ class WorkModel:
                 + self.nnz_per_refine_pass * passes)
 
 
+def footprint_table(dev, A_df=None) -> list:
+    """Per-level, per-component persistent device bytes (VERDICT r2 #5:
+    'price every uploaded array').  Returns one dict per level with bytes
+    of the operator, transfers, smoother vectors and coarse inverse, plus
+    a final row for the df64 fine operator when given.  Every array is
+    priced at its device dtype, so uint16 GELL tables and bf16 bands show
+    their real cost."""
+    from .meminfo import tree_device_bytes
+
+    rows = []
+    for li, lev in enumerate(dev.levels):
+        rows.append({
+            "level": li, "n": lev.n,
+            "A": tree_device_bytes(lev.A),
+            "P": tree_device_bytes(lev.P),
+            "R": tree_device_bytes(lev.R),
+            "vectors": tree_device_bytes((lev.dinv, lev.l1_dinv)),
+            "coarse_inv": tree_device_bytes(lev.coarse_inv),
+            "tri": tree_device_bytes((lev.L, lev.U)),
+        })
+    if A_df is not None:
+        rows.append({"level": "df64_fine", "n": dev.levels[0].n,
+                     "A": tree_device_bytes(A_df),
+                     "P": 0, "R": 0, "vectors": 0, "coarse_inv": 0,
+                     "tri": 0})
+    for r in rows:
+        r["total"] = (r["A"] + r["P"] + r["R"] + r["vectors"]
+                      + r["coarse_inv"] + r["tri"])
+    return rows
+
+
 def work_per_iteration(hier, dev, params, method: str = "cg") -> WorkModel:
     """Exact work of one AMG-preconditioned Krylov iteration.
 
