@@ -88,6 +88,8 @@ def main():
                          "0 = serial single chip)")
     ap.add_argument("--coarsening", default="rs",
                     choices=["rs", "pmis", "aggregation"])
+    ap.add_argument("--dense-size", type=int, default=8192,
+                    help="densify levels at/below this n (GELL above)")
     ap.add_argument("--aggressive", default="pmis2",
                     choices=["composed", "pmis2"],
                     help="aggressive-step scheme: pmis2 = second PMIS on "
@@ -143,7 +145,7 @@ def main():
                        # coarse ELL gathers are launch-storms through the
                        # relay); with opC 1.2 no level between ~30k and
                        # ~4k exists, so the cap stays modest
-                       dense_size=8192, cheby_degree_coarse=1,
+                       dense_size=args.dense_size, cheby_degree_coarse=1,
                        cheby_coarse_from=1, **extra)
     # host-chunked loop: trace-time-unrolled chunks of 12 iterations per
     # dispatch with adaptive tail chunks — beat the device while_loop

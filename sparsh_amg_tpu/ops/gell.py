@@ -828,8 +828,24 @@ def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
         return csr_to_gell(A, dtype=dtype, s_max=s_max, n_pad=n_pad,
                            tr_force=tr_force)
     kq, seg_indptr, seg_row, gap_mode = plan
+    comb_tr = int(os.environ.get("SPARSH_GELL_COMB_TR", 0)) or None
     if kq_force is not None:
         kq = kq_force
+    elif gap_mode:
+        # LARGE-scale retune (hardware, tune_gell192 2026-08-19): once
+        # the split part overflows SMEM into chunked execution, tighter
+        # sub-rows + a shorter comb tile + TR=64 part tiles beat the
+        # small-scale defaults 23.5 vs 29.7 ms at 192^3 R0 (and save
+        # 65 MB); at 96^3 (everything SMEM-resident) the small-scale
+        # defaults win 2.58 vs 2.69 ms, hence the size trigger.
+        seg_len0 = np.diff(seg_indptr)
+        est_slots = int(np.maximum(1, -(-seg_len0 // kq)).sum()) * kq
+        if est_slots * _smem_per_tile(2) > 64 * LANE * SMEM_BUDGET:
+            kq = 16
+            if tr_force is None:
+                tr_force = 64
+            if comb_tr is None:
+                comb_tr = 32
     seg_len = np.diff(seg_indptr)
     g = np.maximum(1, -(-seg_len // kq)).astype(np.int64)   # sub-rows/segment
     cum_sub = np.zeros(len(g) + 1, dtype=np.int64)
@@ -898,7 +914,6 @@ def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
     # them (comb's max degree legitimately exceeds 4x its mean)
     Gp = csr_to_gell(part, dtype=dtype, s_max=s_max, k_cap=kq,
                      tr_force=tr_force)
-    comb_tr = int(os.environ.get("SPARSH_GELL_COMB_TR", 0)) or None
     Gc = csr_to_gell(comb, dtype=dtype, s_max=s_max, n_pad=n_pad,
                      k_cap=int(g_row.max()) if n else 1, tr_force=comb_tr)
     if Gp is None or Gc is None:

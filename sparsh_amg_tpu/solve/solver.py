@@ -201,9 +201,29 @@ class AMGSolver:
 
         self._true_resnorm = jax.jit(true_resnorm)
 
-    def _inner_solve(self, levels, b, tol, maxiter):
+        # -- fused refinement-driver dispatches (host mode) ----------------
+        # Each extra dispatch through the relay costs a launch + a sync
+        # (~27 ms RTT floor measured at 192^3): fuse the df64 residual
+        # with the Krylov init, and the df64 solution update with the
+        # true-residual check, so a refinement pass is init + chunks +
+        # finish — 3-5 dispatches instead of 5-7.
+        def refine_init(levels, Afine, Adf, b_hi, b_lo, x_hi, x_lo):
+            r_hi = refine_residual(Adf, b_hi, b_lo, x_hi, x_lo)
+            return kr_init(levels, Afine, r_hi)
+
+        self._refine_init = jax.jit(refine_init)
+
+        def refine_finish(Adf, b_hi, b_lo, x_hi, x_lo, d):
+            x_hi2, x_lo2 = df64.add(x_hi, x_lo, d, jnp.zeros_like(d))
+            return x_hi2, x_lo2, true_resnorm(Adf, b_hi, b_lo, x_hi2, x_lo2)
+
+        self._refine_finish = jax.jit(refine_finish)
+
+    def _inner_solve(self, levels, b, tol, maxiter, state=None):
         """Inner fp32 AMG-Krylov solve; dispatches on loop_mode.
-        Returns (x_device, iters:int, relres:float)."""
+        Returns (x_device, iters:int, relres:float).  Host mode accepts a
+        pre-built Krylov state (from the fused _refine_init) — `b` may
+        then be None; the initial residual is read from the state."""
         kr = self.krylov
         Afine = self.A_df.A_hi
         if kr.loop_mode == "device":
@@ -214,7 +234,10 @@ class AMGSolver:
             return x, int(it), float(rel)
         i_rr, i_k = {"cg": (5, 6), "bicgstab": (7, 8),
                      "amg": (2, 3)}[kr.method]
-        state = self._kr_init(levels, Afine, b)
+        if state is None:
+            state = self._kr_init(levels, Afine, b)
+        if b is None:
+            b = state[1]             # x0 = 0: r == rhs (all three inits)
         rr0 = float(state[i_rr])     # == ||b||^2 for x0 = 0
         if rr0 == 0.0:
             return state[0], 0, 0.0
@@ -266,9 +289,13 @@ class AMGSolver:
         b_lo = jnp.zeros(self.n_pad, dtype=jnp.float32)
         levels = self.device.levels
         Afine = self.A_df.A_hi
+        x = jnp.zeros(self.n_pad, dtype=jnp.float32)
         if kr.loop_mode == "device":
             jax.block_until_ready(self._inner_solve_dev(
                 levels, Afine, b_hi, 1e-1, kr.maxiter)[0])
+            jax.block_until_ready(self._refine_residual(
+                self.A_df, b_hi, b_lo, x, x))
+            jax.block_until_ready(self._refine_update(x, x, x))
         else:
             main = max(1, kr.chunk)
             tail = max(1, main // 4)
@@ -277,10 +304,10 @@ class AMGSolver:
             if tail != main:
                 st = self._kr_chunk(levels, Afine, b_hi, st, k=tail)
             jax.block_until_ready(st[0])
-        x = jnp.zeros(self.n_pad, dtype=jnp.float32)
-        jax.block_until_ready(self._refine_residual(
-            self.A_df, b_hi, b_lo, x, x))
-        jax.block_until_ready(self._refine_update(x, x, x))
+            jax.block_until_ready(self._refine_init(
+                levels, Afine, self.A_df, b_hi, b_lo, x, x)[0])
+            jax.block_until_ready(self._refine_finish(
+                self.A_df, b_hi, b_lo, x, x, x)[0])
         jax.block_until_ready(self._true_resnorm(self.A_df, b_hi, b_lo, x, x))
 
     def _pad(self, v: np.ndarray) -> np.ndarray:
@@ -345,20 +372,36 @@ class AMGSolver:
         converged = False
         passes = 0
         relres = 1.0
-        for _ in range(kr.max_refine):
+        host = kr.loop_mode != "device"
+        for p in range(kr.max_refine):
             budget = maxiter - total_iters
             if budget <= 0:
                 break
-            r_hi = self._refine_residual(self.A_df, b_hi, b_lo, x_hi, x_lo)
-            d, iters, _ = self._inner_solve(
-                levels, r_hi,
-                max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1), budget)
-            x_hi, x_lo = self._refine_update(x_hi, x_lo, d)
+            itol = max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1)
+            if host:
+                # fused dispatches; pass 0 skips the df64 residual
+                # entirely (x = 0 -> r = b)
+                if p == 0:
+                    state = self._kr_init(levels, self.A_df.A_hi, b_hi)
+                else:
+                    state = self._refine_init(levels, self.A_df.A_hi,
+                                              self.A_df, b_hi, b_lo,
+                                              x_hi, x_lo)
+                d, iters, _ = self._inner_solve(levels, None, itol, budget,
+                                                state=state)
+                x_hi, x_lo, rnsq = self._refine_finish(
+                    self.A_df, b_hi, b_lo, x_hi, x_lo, d)
+                rnsq_after = float(rnsq)
+            else:
+                r_hi = self._refine_residual(self.A_df, b_hi, b_lo,
+                                             x_hi, x_lo)
+                d, iters, _ = self._inner_solve(levels, r_hi, itol, budget)
+                x_hi, x_lo = self._refine_update(x_hi, x_lo, d)
+                # true residual after the update
+                rnsq_after = float(self._true_resnorm(
+                    self.A_df, b_hi, b_lo, x_hi, x_lo))
             passes += 1
             total_iters += int(iters)
-            # true residual after the update
-            rnsq_after = float(self._true_resnorm(
-                self.A_df, b_hi, b_lo, x_hi, x_lo))
             relres = float(np.sqrt(max(rnsq_after, 0.0))) / bnorm
             history.append((int(iters), relres))
             _log.debug("refine pass %d: inner_iters=%d relres=%.3e",
