@@ -88,8 +88,13 @@ def main():
                          "0 = serial single chip)")
     ap.add_argument("--coarsening", default="rs",
                     choices=["rs", "pmis", "aggregation"])
-    ap.add_argument("--dense-size", type=int, default=8192,
-                    help="densify levels at/below this n (GELL above)")
+    ap.add_argument("--dense-size", type=int, default=2048,
+                    help="densify levels at/below this n (GELL above). "
+                         "8192 was the round-2 default (relay launch "
+                         "economy); with chained dispatch the GELL level "
+                         "matches the dense matvec speed at 1/25 the "
+                         "footprint (192^3 A/B: solve 1.78 vs 1.74 s, "
+                         "level-3 bytes 80 -> 3 MB)")
     ap.add_argument("--aggressive", default="pmis2",
                     choices=["composed", "pmis2"],
                     help="aggressive-step scheme: pmis2 = second PMIS on "

@@ -172,12 +172,14 @@ class DistAMGSolver:
             return shmap(body, (Pr, Pr, Pr), st_specs)(
                 levels_st, Adf_st, b_st)
 
-        def kr_chunk(levels_st, Adf_st, rhat_st, state):
+        def kr_chunk(levels_st, Adf_st, rhat_st, state, k: int):
             def body(levels_s, Adf_s, rhat_s, st):
                 mv, pc, dotf = _mk(levels_s, Adf_s)
                 st = _squeeze(st)
-                # trace-time unroll: straight-line XLA (see krylov.pcg_chunk)
-                for _ in range(kr.chunk):
+                # trace-time unroll: straight-line XLA (see krylov.
+                # pcg_chunk); k static — main/tail sizing as in the
+                # serial solver (solve/solver.py)
+                for _ in range(k):
                     if method == "cg":
                         st = pcg_step(mv, pc, dotf, st)
                     elif method == "amg":
@@ -189,7 +191,8 @@ class DistAMGSolver:
                 levels_st, Adf_st, rhat_st, state)
 
         self._kr_init = jax.jit(kr_init)
-        self._kr_chunk = jax.jit(kr_chunk)
+        self._kr_chunk = jax.jit(kr_chunk, static_argnames=("k",))
+        self._rho2_est = None
 
         def refine_residual(Adf_st, b_hi, b_lo, x_hi, x_lo):
             def body(Adf_s, bh_s, bl_s, xh_s, xl_s):
@@ -267,16 +270,29 @@ class DistAMGSolver:
         if rr0 == 0.0:
             return state[0], 0, 0.0
         target = (tol * tol) * rr0
+        main = max(1, kr.chunk)
+        tail = max(1, main // 4)
         iters = 0
         rr = rr0
         while iters < maxiter:
-            state = self._kr_chunk(levels, self.A_df, b_st, state)
+            # main/tail chunk sizing from the cached contraction estimate
+            # (see solve/solver.py): late refinement passes needing 2
+            # iterations run tail chunks instead of a full main chunk
+            rho2 = self._rho2_est
+            if rho2 is not None and 0.0 < rho2 < 1.0 and rr > target > 0.0:
+                need = int(np.ceil(np.log(target / rr) / np.log(rho2)))
+                k = main if need >= main else tail
+            else:
+                k = main
+            state = self._kr_chunk(levels, self.A_df, b_st, state, k=k)
             rr = float(state[i_rr])
             iters = int(state[i_k])
             if rr <= target or not np.isfinite(rr):
                 break
             if kr.method == "bicgstab" and bool(state[9]):
                 break
+        if iters > 0 and 0.0 < rr < rr0:
+            self._rho2_est = float((rr / rr0) ** (1.0 / iters))
         return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
 
     # -- public API --------------------------------------------------------

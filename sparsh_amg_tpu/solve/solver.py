@@ -203,15 +203,27 @@ class AMGSolver:
 
         # -- fused refinement-driver dispatches (host mode) ----------------
         # Each extra dispatch through the relay costs a launch + a sync
-        # (~27 ms RTT floor measured at 192^3): fuse the df64 residual
-        # with the Krylov init, and the df64 solution update with the
-        # true-residual check, so a refinement pass is init + chunks +
-        # finish — 3-5 dispatches instead of 5-7.
-        def refine_init(levels, Afine, Adf, b_hi, b_lo, x_hi, x_lo):
-            r_hi = refine_residual(Adf, b_hi, b_lo, x_hi, x_lo)
-            return kr_init(levels, Afine, r_hi)
+        # (~27 ms RTT floor measured at 192^3): fuse the df64 residual,
+        # the Krylov init AND the first k iterations into one dispatch
+        # (the initial ||r||^2 is already known host-side — bnorm for
+        # pass 0, the refine_finish readback for later passes — so the
+        # first chunk size needs no device roundtrip), and the df64
+        # solution update with the true-residual check.  A refinement
+        # pass is start + tail chunks + finish: 2-4 dispatches, was 5-7.
+        def kr_start(levels, Afine, b, k: int):
+            state = kr_init(levels, Afine, b)
+            return kr_chunk(levels, Afine, b, state, k), b
 
-        self._refine_init = jax.jit(refine_init)
+        self._kr_start = jax.jit(kr_start, static_argnames=("k",))
+
+        def refine_start(levels, Afine, Adf, b_hi, b_lo, x_hi, x_lo,
+                         k: int):
+            r_hi = refine_residual(Adf, b_hi, b_lo, x_hi, x_lo)
+            state = kr_init(levels, Afine, r_hi)
+            # r_hi returned as rhat for the follow-up bicgstab chunks
+            return kr_chunk(levels, Afine, r_hi, state, k), r_hi
+
+        self._refine_start = jax.jit(refine_start, static_argnames=("k",))
 
         def refine_finish(Adf, b_hi, b_lo, x_hi, x_lo, d):
             x_hi2, x_lo2 = df64.add(x_hi, x_lo, d, jnp.zeros_like(d))
@@ -219,7 +231,7 @@ class AMGSolver:
 
         self._refine_finish = jax.jit(refine_finish)
 
-    def _inner_solve(self, levels, b, tol, maxiter, state=None):
+    def _inner_solve(self, levels, b, tol, maxiter, state=None, rr0=None):
         """Inner fp32 AMG-Krylov solve; dispatches on loop_mode.
         Returns (x_device, iters:int, relres:float).  Host mode accepts a
         pre-built Krylov state (from the fused _refine_init) — `b` may
@@ -238,16 +250,32 @@ class AMGSolver:
             state = self._kr_init(levels, Afine, b)
         if b is None:
             b = state[1]             # x0 = 0: r == rhs (all three inits)
-        rr0 = float(state[i_rr])     # == ||b||^2 for x0 = 0
+        if rr0 is None:
+            rr0 = float(state[i_rr])  # == ||b||^2 for x0 = 0
         if rr0 == 0.0:
-            return state[0], 0, 0.0
+            return state[0], int(state[i_k]), 0.0
         target = (tol * tol) * rr0
         main = max(1, kr.chunk)
         tail = max(1, main // 4)
         iters = 0
         rr = rr0
         t0 = time.perf_counter()
-        while iters < maxiter:
+        while True:
+            # the state may arrive pre-stepped (the fused kr_start /
+            # refine_start dispatches): read progress FIRST, then decide
+            # whether another chunk is needed
+            rr = float(state[i_rr])
+            iters = int(state[i_k])
+            # structured per-chunk record (SURVEY.md §5.5; DEBUG so the
+            # hot loop stays silent by default)
+            if iters and _log.isEnabledFor(10):
+                _log.debug("%s", iteration_log(
+                    iters, float(np.sqrt(max(rr, 0.0) / rr0)),
+                    time.perf_counter() - t0))
+            if rr <= target or not np.isfinite(rr) or iters >= maxiter:
+                break
+            if kr.method == "bicgstab" and bool(state[9]):   # breakdown
+                break
             # pick the chunk size from the estimated iterations still
             # needed (squared-residual contraction rho2 from the previous
             # inner solve on this matrix): a late refinement pass needing
@@ -262,18 +290,6 @@ class AMGSolver:
             else:
                 k = main
             state = self._kr_chunk(levels, Afine, b, state, k=k)
-            rr = float(state[i_rr])
-            iters = int(state[i_k])
-            # structured per-chunk record (SURVEY.md §5.5; DEBUG so the
-            # hot loop stays silent by default)
-            if _log.isEnabledFor(10):
-                _log.debug("%s", iteration_log(
-                    iters, float(np.sqrt(max(rr, 0.0) / rr0)),
-                    time.perf_counter() - t0))
-            if rr <= target or not np.isfinite(rr):
-                break
-            if kr.method == "bicgstab" and bool(state[9]):   # breakdown
-                break
         if iters > 0 and 0.0 < rr < rr0:
             self._rho2_est = float((rr / rr0) ** (1.0 / iters))
         return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
@@ -299,13 +315,13 @@ class AMGSolver:
         else:
             main = max(1, kr.chunk)
             tail = max(1, main // 4)
-            st = self._kr_init(levels, Afine, b_hi)
+            st, _ = self._kr_start(levels, Afine, b_hi, k=main)
             st = self._kr_chunk(levels, Afine, b_hi, st, k=main)
             if tail != main:
                 st = self._kr_chunk(levels, Afine, b_hi, st, k=tail)
             jax.block_until_ready(st[0])
-            jax.block_until_ready(self._refine_init(
-                levels, Afine, self.A_df, b_hi, b_lo, x, x)[0])
+            jax.block_until_ready(self._refine_start(
+                levels, Afine, self.A_df, b_hi, b_lo, x, x, k=tail)[0][0])
             jax.block_until_ready(self._refine_finish(
                 self.A_df, b_hi, b_lo, x, x, x)[0])
         jax.block_until_ready(self._true_resnorm(self.A_df, b_hi, b_lo, x, x))
@@ -379,16 +395,25 @@ class AMGSolver:
                 break
             itol = max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1)
             if host:
-                # fused dispatches; pass 0 skips the df64 residual
-                # entirely (x = 0 -> r = b)
+                # fused starts: residual (skipped on pass 0: x=0 -> r=b)
+                # + Krylov init + the first chunk, one dispatch.  The
+                # initial ||r||^2 is known host-side (bnorm / previous
+                # finish readback), so no roundtrip decides the size:
+                # pass 0 starts with a main chunk (it always needs one),
+                # later passes with a tail chunk.
+                main = max(1, kr.chunk)
+                tail = max(1, main // 4)
                 if p == 0:
-                    state = self._kr_init(levels, self.A_df.A_hi, b_hi)
+                    rr0 = bnorm * bnorm
+                    state, rhat = self._kr_start(levels, self.A_df.A_hi,
+                                                 b_hi, k=main)
                 else:
-                    state = self._refine_init(levels, self.A_df.A_hi,
-                                              self.A_df, b_hi, b_lo,
-                                              x_hi, x_lo)
-                d, iters, _ = self._inner_solve(levels, None, itol, budget,
-                                                state=state)
+                    rr0 = rnsq_after
+                    state, rhat = self._refine_start(
+                        levels, self.A_df.A_hi, self.A_df, b_hi, b_lo,
+                        x_hi, x_lo, k=tail)
+                d, iters, _ = self._inner_solve(levels, rhat, itol, budget,
+                                                state=state, rr0=rr0)
                 x_hi, x_lo, rnsq = self._refine_finish(
                     self.A_df, b_hi, b_lo, x_hi, x_lo, d)
                 rnsq_after = float(rnsq)
