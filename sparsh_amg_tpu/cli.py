@@ -48,6 +48,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "operator, ~2x faster setup)")
     p.add_argument("--rap-drop-tol", type=float, default=0.0,
                    help="Galerkin operator drop/lump filter threshold")
+    p.add_argument("--agg-blocksize", type=int, default=1,
+                   help="dofs per node for node-amalgamated aggregation "
+                        "(2 = 2-D elasticity; coarse levels amalgamate "
+                        "by the near-nullspace dimension automatically)")
+    p.add_argument("--no-p-smooth-filter", action="store_true",
+                   help="SA: smooth P with the UNFILTERED operator "
+                        "(systems recipe — pair with --agg-blocksize; "
+                        "keeps opC bounded via node aggregation while "
+                        "preserving cross-dof couplings)")
     p.add_argument("--smoother", default="jacobi",
                    choices=["jacobi", "l1jacobi", "chebyshev", "gs2"])
     p.add_argument("--cycle", default="V", choices=["V", "W", "F"])
@@ -104,6 +113,8 @@ def run(argv=None) -> dict:
                        interp_max=args.interp_max,
                        agg_levels=args.agg_levels,
                        aggressive=args.aggressive,
+                       agg_blocksize=args.agg_blocksize,
+                       p_smooth_filter=not args.no_p_smooth_filter,
                        rap_drop_tol=args.rap_drop_tol)
     krylov = KrylovParams(method=args.krylov, tol=args.tol,
                           maxiter=args.maxiter, refine=not args.no_refine,

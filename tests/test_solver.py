@@ -80,6 +80,29 @@ def test_anisotropic_aggregation_wcycle_bicgstab():
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
 
 
+def test_device_resident_rhs_and_lazy_x():
+    """prepare_rhs keeps the rhs on device across solves (the GPU-driver
+    pattern: vector H2D/D2H stays out of the solve loop) and
+    SolveResult.x materializes lazily to the same answer."""
+    from sparsh_amg_tpu.solve.solver import DeviceRhs
+    A = poisson2d(32)
+    b = np.random.default_rng(5).standard_normal(A.shape[0])
+    s = AMGSolver(A)
+    rhs = s.prepare_rhs(b)
+    assert isinstance(rhs, DeviceRhs)
+    r1 = s.solve(rhs)
+    r2 = s.solve(b)
+    assert r1.converged and r2.converged
+    assert callable(r1._x)              # not yet downloaded
+    x1 = r1.x                           # lazy materialization
+    assert not callable(r1._x)          # cached after first access
+    assert np.linalg.norm(A @ x1 - b) / np.linalg.norm(b) < 1e-8
+    np.testing.assert_allclose(x1, r2.x, rtol=0, atol=0)  # same dispatches
+    # rhs reuse: a third solve from the same DeviceRhs matches too
+    r3 = s.solve(rhs)
+    np.testing.assert_allclose(r3.x, x1, rtol=0, atol=0)
+
+
 def test_elasticity_converges():
     A = elasticity2d(12)
     rng = np.random.default_rng(3)
