@@ -230,6 +230,12 @@ def get_lib():
             _i64, _ptr(np.int64), _ptr(np.int32), _i64, _ptr(np.int64),
             _ptr(np.int64), _ptr(np.int32),
         ]
+        lib.gather_subrows.restype = None
+        lib.gather_subrows.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int64), _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
+            _ptr(np.float64),
+        ]
         lib.mask_compress_data.restype = None
         lib.mask_compress_data.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),

@@ -1627,6 +1627,24 @@ void segment_rows_fill(int64_t n, const int64_t* indptr,
   seg_indptr[seg_offset[n]] = indptr[n];
 }
 
+// Gather permuted sub-row slices into a new CSR (the window-grouped
+// SplitGell packer's data movement): out[dst_start[s] .. +lens[s]) =
+// in[src_start[s] .. +lens[s]).  Replaces an nnz-length np.repeat +
+// np.arange + two fancy-index gathers — ~2 s of fresh-page int64
+// temporaries per packed operator at 192^3 on the deploy VM.
+extern "C" void gather_subrows(int64_t n_sub, const int64_t* src_start,
+                               const int64_t* dst_start,
+                               const int64_t* lens, const int32_t* indices,
+                               const double* data, int32_t* out_indices,
+                               double* out_data) {
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t s = 0; s < n_sub; ++s) {
+    const int64_t a = src_start[s], b = dst_start[s], L = lens[s];
+    std::memcpy(out_indices + b, indices + a, (size_t)L * sizeof(int32_t));
+    std::memcpy(out_data + b, data + a, (size_t)L * sizeof(double));
+  }
+}
+
 // Masked CSR compress WITH values (the pattern-only variant lives in
 // mask_compress): out rows keep entries where mask != 0.
 void mask_compress_data(int64_t n, const int64_t* indptr,

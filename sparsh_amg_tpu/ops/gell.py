@@ -886,11 +886,33 @@ def csr_to_gell_auto(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
         new_lens = lens[perm]
         gp_indptr = np.zeros(n_split + 1, dtype=np.int64)
         np.cumsum(new_lens, out=gp_indptr[1:])
-        gather = (np.repeat(part_indptr[:-1][perm] - gp_indptr[:-1],
-                            new_lens)
-                  + np.arange(A.nnz, dtype=np.int64))
-        part = sp.csr_matrix((A.data[gather], A.indices[gather],
-                              gp_indptr), shape=(n_split, m))
+        from .._native import get_lib, empty_prefaulted
+        lib = get_lib()
+        if lib is not None and A.nnz >= (1 << 16):
+            # single-pass OpenMP slice gather: the numpy path below
+            # builds an nnz-length repeat + arange + two fancy gathers
+            # (~2 s of fresh-page temporaries per operator at 192^3)
+            src_start = np.ascontiguousarray(part_indptr[:-1][perm])
+            g_idx = empty_prefaulted(A.nnz, np.int32)
+            g_dat = empty_prefaulted(A.nnz, np.float64)
+            lib.gather_subrows(n_split, src_start,
+                               np.ascontiguousarray(gp_indptr[:-1]),
+                               np.ascontiguousarray(new_lens),
+                               np.ascontiguousarray(A.indices,
+                                                    dtype=np.int32),
+                               np.ascontiguousarray(A.data,
+                                                    dtype=np.float64),
+                               g_idx, g_dat)
+            part = sp.csr_matrix((g_dat, g_idx, gp_indptr),
+                                 shape=(n_split, m))
+            part.has_sorted_indices = True   # sub-slices of sorted rows
+            part.has_canonical_format = True
+        else:
+            gather = (np.repeat(part_indptr[:-1][perm] - gp_indptr[:-1],
+                                new_lens)
+                      + np.arange(A.nnz, dtype=np.int64))
+            part = sp.csr_matrix((A.data[gather], A.indices[gather],
+                                  gp_indptr), shape=(n_split, m))
         inv = np.empty(n_split, dtype=np.int64)
         inv[perm] = np.arange(n_split, dtype=np.int64)
         comb_cols = inv.astype(np.int32)
