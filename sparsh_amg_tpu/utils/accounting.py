@@ -114,7 +114,8 @@ def footprint_table(dev, A_df=None) -> list:
             "A": tree_device_bytes(lev.A),
             "P": tree_device_bytes(lev.P),
             "R": tree_device_bytes(lev.R),
-            "vectors": tree_device_bytes((lev.dinv, lev.l1_dinv)),
+            "vectors": tree_device_bytes((lev.dinv, lev.l1_dinv,
+                                          lev.lam_max)),
             "coarse_inv": tree_device_bytes(lev.coarse_inv),
             "tri": tree_device_bytes((lev.L, lev.U)),
         })

@@ -82,3 +82,24 @@ def test_bicgstab_doubles_top_level_work():
     bi = work_per_iteration(hier, dev, params, method="bicgstab")
     assert bi.nnz_per_iter == pytest.approx(
         2 * cg.nnz_per_iter, rel=1e-12)
+
+
+def test_footprint_table_sums_to_device_bytes():
+    """Per-level footprint rows (VERDICT r2 #5) cover every persistent
+    device array: their sum equals the solver's device_bytes()."""
+    import numpy as np
+    from sparsh_amg_tpu.models.poisson import poisson3d
+    from sparsh_amg_tpu.params import KrylovParams
+    from sparsh_amg_tpu.solve.solver import AMGSolver
+    from sparsh_amg_tpu.utils.accounting import footprint_table
+
+    params = AMGParams(smoother="chebyshev", cycle="V")
+    s = AMGSolver(poisson3d(16), params, KrylovParams())
+    rows = footprint_table(s.device, s.A_df)
+    assert rows[-1]["level"] == "df64_fine"
+    total = sum(r["total"] for r in rows)
+    assert total == s.device_bytes()
+    for r in rows:
+        assert r["total"] >= 0
+        assert r["total"] == (r["A"] + r["P"] + r["R"] + r["vectors"]
+                              + r["coarse_inv"] + r["tri"])
