@@ -772,6 +772,21 @@ void truncate_interp(int64_t n, const int64_t* indptr,
 // and lump the dropped mass into the diagonal.  Two-pass over a CSR that
 // already contains its diagonal entries.
 // ---------------------------------------------------------------------------
+// SPD-safety guard for ML-style filtering: lumping the dropped entries
+// must not collapse or flip the row's diagonal.  High-contrast
+// jump-coefficient operators hit this for real (round 3): a coarse row's
+// weak-relative entries carried most of the diagonal's mass, lumping
+// them produced an EXACTLY zero diagonal and a singular coarse level.
+// A row whose post-lump diagonal would fall below RAP_DIAG_FLOOR of the
+// original keeps ALL its entries instead.
+static const double RAP_DIAG_FLOOR = 0.1;
+static inline bool rap_keep_whole_row(double diag, double lump) {
+  const double nd = diag + lump;
+  if (diag > 0.0) return nd < RAP_DIAG_FLOOR * diag;
+  if (diag < 0.0) return nd > RAP_DIAG_FLOOR * diag;
+  return true;  // zero diagonal: nothing safe to lump into
+}
+
 int64_t rap_filter_symbolic(int64_t n, const int64_t* indptr,
                             const int32_t* indices, const double* data,
                             double drop_tol, double* diag_abs,
@@ -789,13 +804,22 @@ int64_t rap_filter_symbolic(int64_t n, const int64_t* indptr,
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     int64_t cnt = 0;
+    double lump = 0.0, diag = 0.0;
     for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
       const int32_t j = indices[k];
-      if (j == (int32_t)i ||
-          std::fabs(data[k]) >= drop_tol * std::sqrt(diag_abs[i] * diag_abs[j]))
+      if (j == (int32_t)i) {
+        diag = data[k];
         ++cnt;
+      } else if (std::fabs(data[k]) >=
+                 drop_tol * std::sqrt(diag_abs[i] * diag_abs[j])) {
+        ++cnt;
+      } else {
+        lump += data[k];
+      }
     }
-    counts[i] = cnt;
+    counts[i] = rap_keep_whole_row(diag, lump)
+                    ? (indptr[i + 1] - indptr[i])
+                    : cnt;
   }
   C_indptr[0] = 0;
   for (int64_t i = 0; i < n; ++i) C_indptr[i + 1] = C_indptr[i] + counts[i];
@@ -809,6 +833,16 @@ void rap_filter_numeric(int64_t n, const int64_t* indptr,
                         double* C_data) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
+    // the symbolic pass already decided whether this row keeps all its
+    // entries (diagonal-collapse guard): detect it from the kept width
+    if (C_indptr[i + 1] - C_indptr[i] == indptr[i + 1] - indptr[i]) {
+      int64_t out = C_indptr[i];
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        C_indices[out] = indices[k];
+        C_data[out++] = data[k];
+      }
+      continue;
+    }
     int64_t out = C_indptr[i];
     int64_t diag_slot = -1;
     double lump = 0.0;
@@ -1194,11 +1228,20 @@ int64_t rap_fused_extract(double drop_tol, int64_t* C_indptr) {
     const double* cv = st.val[st.row_thread[i]].data() + st.row_base[i];
     const double di = st.diag_abs[i];
     int64_t k = 0;
-    for (int64_t s = 0; s < len; ++s)
-      if (ci[s] == (int32_t)i ||
-          std::fabs(cv[s]) >= drop_tol * std::sqrt(di * st.diag_abs[ci[s]]))
+    double lump = 0.0, diag = 0.0;
+    for (int64_t s = 0; s < len; ++s) {
+      if (ci[s] == (int32_t)i) {
+        diag = cv[s];
         ++k;
-    keep[i] = k;
+      } else if (std::fabs(cv[s]) >=
+                 drop_tol * std::sqrt(di * st.diag_abs[ci[s]])) {
+        ++k;
+      } else {
+        lump += cv[s];
+      }
+    }
+    // diagonal-collapse guard (see rap_keep_whole_row)
+    keep[i] = rap_keep_whole_row(diag, lump) ? len : k;
   }
   C_indptr[0] = 0;
   for (int64_t i = 0; i < nc; ++i) C_indptr[i + 1] = C_indptr[i] + keep[i];
@@ -1217,6 +1260,14 @@ void rap_fused_emit(const int64_t* C_indptr, int32_t* C_indices,
     const int64_t len = st.row_len[i];
     int64_t w = C_indptr[i];
     if (drop_tol <= 0.0) {
+      for (int64_t s = 0; s < len; ++s) {
+        C_indices[w] = ci[s];
+        C_data[w++] = cv[s];
+      }
+      continue;
+    }
+    if (C_indptr[i + 1] - C_indptr[i] == len) {
+      // guard row (or nothing dropped): emit verbatim, no lumping
       for (int64_t s = 0; s < len; ++s) {
         C_indices[w] = ci[s];
         C_data[w++] = cv[s];

@@ -9,6 +9,7 @@ scipy Kronecker products.
 from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
 from .convection import convection2d
+from .jump import jump2d
 from .elasticity import elasticity2d, elasticity2d_nullspace
 from .problem import Problem, get_problem
 
@@ -17,6 +18,7 @@ __all__ = [
     "poisson3d",
     "anisotropic2d",
     "convection2d",
+    "jump2d",
     "elasticity2d",
     "elasticity2d_nullspace",
     "Problem",

@@ -61,6 +61,12 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         meta = {"nx": nx}
         return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta,
                        nullspace=elasticity2d_nullspace(nx))
+    elif name == "jump":
+        from .jump import jump2d
+        nx = int(round((n or 1_000_000) ** 0.5))
+        A = jump2d(nx, **kw)
+        meta = {"nx": nx, "contrast": kw.get("contrast", 1e4),
+                "pattern": kw.get("pattern", "checkerboard")}
     elif name == "convection":
         from .convection import convection2d
         nx = int(round((n or 1_000_000) ** 0.5))

@@ -107,12 +107,22 @@ def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
             return Ac
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(Ac.indptr))
         dmask = Ac.indices == rows
-        diag = np.zeros(n)
-        diag[rows[dmask]] = np.abs(Ac.data[dmask])
+        diag_s = np.zeros(n)
+        diag_s[rows[dmask]] = Ac.data[dmask]
+        diag = np.abs(diag_s)
         cut = drop_tol * np.sqrt(diag[rows] * diag[Ac.indices])
         keep = dmask | (np.abs(Ac.data) >= cut)
         lump = np.zeros(n)
         np.add.at(lump, rows[~keep], Ac.data[~keep])
+        # diagonal-collapse guard (matches the native rap_keep_whole_row):
+        # rows whose lumped diagonal would fall below 10% of the original
+        # (or flip sign) keep all entries — high-contrast jump operators
+        # otherwise produce exactly-zero diagonals -> singular coarse A
+        nd = diag_s + lump
+        bad = np.where(diag_s > 0, nd < 0.1 * diag_s,
+                       np.where(diag_s < 0, nd > 0.1 * diag_s, True))
+        keep = keep | bad[rows]
+        lump = np.where(bad, 0.0, lump)
         data = np.where(keep, Ac.data, 0.0)
         data = np.where(dmask, data + lump[rows], data)
         Ac = sp.csr_matrix((data, Ac.indices.copy(), Ac.indptr.copy()),

@@ -78,3 +78,46 @@ def test_get_problem_sizes():
     assert abs(p.n - 10_000) / 10_000 < 0.05
     p = get_problem("poisson3d", n=8_000)
     assert p.n == 8000
+
+
+def test_jump2d_harmonic_structure():
+    """Jump-coefficient diffusion: SPD, harmonic-mean faces, correct
+    interface scaling."""
+    import scipy.sparse as sp
+    from sparsh_amg_tpu.models.jump import jump2d
+    A = jump2d(16, contrast=1e4, pattern="island")
+    assert abs(A - A.T).max() < 1e-12           # symmetric
+    d = A.diagonal()
+    assert (d > 0).all()
+    # rows sum to >= 0 (Dirichlet: boundary rows strictly positive)
+    rs = np.asarray(A.sum(axis=1)).ravel()
+    assert (rs >= -1e-9).all() and rs.max() > 0
+    # harmonic mean across the interface ~ 2*k_small (NOT the arithmetic
+    # ~k_large/2): every off-diagonal magnitude is <= 2*min neighbour k
+    off = A.copy()
+    off.setdiag(0.0)
+    off.eliminate_zeros()
+    assert np.abs(off.data).max() <= 1e4 + 1e-9
+    assert np.abs(off.data).min() >= 1.0 - 1e-9   # harm(1,1) inside k=1
+    # the interface face is the harmonic mean ~2*k_small, not the
+    # arithmetic ~k_large/2
+    iface = 2.0 * 1.0 * 1e4 / (1e4 + 1.0)
+    assert np.isclose(np.abs(off.data), iface, rtol=1e-9).any()
+    assert not (np.abs(off.data) > iface + 1e-6).any() or \
+        np.abs(off.data).max() == 1e4  # only bulk values above it
+    # SPD check via Cholesky on the small case
+    import scipy.linalg as sla
+    sla.cho_factor(A.toarray())
+
+
+def test_jump2d_patterns_converge():
+    from sparsh_amg_tpu.models.jump import jump2d
+    from sparsh_amg_tpu.params import AMGParams, KrylovParams
+    from sparsh_amg_tpu.solve.solver import AMGSolver
+    for pattern in ("checkerboard", "island", "random"):
+        A = jump2d(48, contrast=1e4, pattern=pattern)
+        b = np.random.default_rng(2).standard_normal(A.shape[0])
+        r = AMGSolver(A, AMGParams(smoother="chebyshev", coarsening="pmis",
+                                   interpolation="extpi", interp_max=4),
+                      KrylovParams(maxiter=300)).solve(b)
+        assert r.converged, pattern

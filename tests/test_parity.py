@@ -19,6 +19,7 @@ import pytest
 from sparsh_amg_tpu.models import (poisson2d, poisson3d, anisotropic2d,
                                    elasticity2d, convection2d)
 from sparsh_amg_tpu.models.elasticity import elasticity2d_nullspace as _elas_ns
+from sparsh_amg_tpu.models.jump import jump2d as _jump2d
 from sparsh_amg_tpu.params import AMGParams, KrylovParams
 from sparsh_amg_tpu.solve.solver import AMGSolver
 
@@ -50,6 +51,14 @@ PARITY_TABLE = [
      AMGParams(coarsening="aggregation", interpolation="smoothed",
                smoother="chebyshev", coarse_size=200),
      KrylovParams(maxiter=300), 44),
+    # discontinuous-coefficient diffusion (classic AMG stressor; round 3):
+    # harmonic-mean FD faces, log-uniform random blocks, contrast 1e4 —
+    # grid-independent 14/14/15 at m=64/128/192 with PMIS+ext+i
+    ("jump2d_64_random_1e4_V_cg",
+     lambda: _jump2d(64, contrast=1e4, pattern="random"),
+     AMGParams(smoother="chebyshev", coarsening="pmis",
+               interpolation="extpi", interp_max=4),
+     KrylovParams(maxiter=300), 14),
     # the flagship elasticity recipe (VERDICT r2 #8): rigid-body-mode SA
     # + node-amalgamated aggregation (agg_blocksize=2) + unfiltered P
     # smoothing — 17 iters / opC 1.32 vs 44 / 1.91 for nullspace-less SA

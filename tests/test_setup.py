@@ -383,3 +383,46 @@ def test_weak_row_sum_matches_numpy():
     ref = np.zeros(n)
     np.add.at(ref, rows, np.where(offdiag & ~strong, A.data, 0.0))
     np.testing.assert_allclose(out, ref, atol=1e-13)
+
+
+def test_rap_filter_diagonal_guard():
+    """RAP drop/lump filtering must never collapse a diagonal: on
+    high-contrast jump operators the lumped weak entries carried most of
+    a row's diagonal mass and produced an EXACTLY zero coarse diagonal
+    (singular level, round-3 bug). Rows where lumping would push the
+    diagonal below 10% of its original value keep all entries — in the
+    fused native, two-pass native, and numpy paths alike."""
+    import os
+    from sparsh_amg_tpu.models.jump import jump2d
+    from sparsh_amg_tpu.setup.strength import classical_strength
+    from sparsh_amg_tpu.setup.splitting import pmis_splitting
+    from sparsh_amg_tpu.setup.interp import extpi_interpolation, \
+        truncate_rows
+    from sparsh_amg_tpu.setup.galerkin import galerkin_product
+    from sparsh_amg_tpu.setup.transpose import csr_transpose
+
+    A = jump2d(64, contrast=1e4)
+    mask, S = classical_strength(A, 0.25)
+    cf = pmis_splitting(S)
+    P = truncate_rows(extpi_interpolation(A, mask, cf), 4)
+    R = csr_transpose(P)
+    outs = {}
+    outs["fused"] = galerkin_product(A, P, R=R, drop_tol=0.01)
+    os.environ["SPARSH_NO_FUSED_RAP"] = "1"
+    try:
+        outs["two_pass"] = galerkin_product(A, P, R=R, drop_tol=0.01)
+    finally:
+        del os.environ["SPARSH_NO_FUSED_RAP"]
+    import sparsh_amg_tpu._native as nat
+    lib_save = nat._LIB
+    nat._LIB = None
+    try:
+        outs["numpy"] = galerkin_product(A, P, R=R, drop_tol=0.01)
+    finally:
+        nat._LIB = lib_save
+    ref = galerkin_product(A, P, R=R, drop_tol=0.0).diagonal()
+    for name, Ac in outs.items():
+        d = Ac.diagonal()
+        assert (d > 0).all(), name
+        # guard: every filtered diagonal keeps >= 10% of the unfiltered
+        assert (d >= 0.1 * ref - 1e-12).all(), name
