@@ -163,15 +163,21 @@ class GellMatrix:
         """y = A @ x; x length >= src_pad (zero-padded), y length n_pad."""
         if x.shape[0] < self.src_pad:
             x = jnp.pad(x, (0, self.src_pad - x.shape[0]))
+        # row reduction: stream is row-major, so positions of row i are
+        # contiguous — a reshape + sum that XLA fuses with the gather
+        # producer.  The PALLAS CHUNKED path must reduce PER CHUNK (with
+        # row-aligned chunk boundaries): reducing the concatenated stream
+        # breaks fusion and materializes the (n, K) minor-dim-K layout,
+        # which TPU pads K -> 128 — a 25.6x temp (15.6 GB at 320^3, the
+        # round-3 OOM).  A flat 1-D reduce_window avoids the padding but
+        # measured 3-7x slower than the fused reshape-sum (96^3 vcycle
+        # 8.3 -> 28 ms), so it stays the last-resort path only.
         if use_pallas_gell():
-            stream = _gather_pallas_chunked(self, x)
+            y = _spmv_pallas_reduced(self, x)
         else:
             stream = _gell_gather_xla(self, x)
-        # row reduction: stream is row-major, so positions of row i are
-        # contiguous — a reshape + sum that XLA fuses with downstream ops,
-        # sliced/padded from the internal stream padding to the level pad
-        y = stream.reshape(self.stream_rows, self.k).sum(
-            axis=1, dtype=jnp.float32)
+            y = stream.reshape(self.stream_rows, self.k).sum(
+                axis=1, dtype=jnp.float32)
         if self.n_pad <= self.stream_rows:
             return y[: self.n_pad]
         return jnp.pad(y, (0, self.n_pad - self.stream_rows))
@@ -202,23 +208,48 @@ def _gell_gather_xla(G: GellMatrix, x):
     return (G.vals.reshape(-1).astype(jnp.float32) * g).reshape(-1)
 
 
-def _gather_pallas_chunked(G: GellMatrix, x):
-    """Split the stream into equal-tile chunks so each call's prefetched
-    window table fits SMEM; all full chunks share one executable."""
+def _spmv_pallas_reduced(G: GellMatrix, x):
+    """Pallas gather + row reduction, chunked so each call's prefetched
+    window table fits SMEM.  Chunk boundaries are ROW-ALIGNED (chunk
+    tiles a multiple of K/gcd(K, tile)) so each chunk reduces its own
+    stream with a fused reshape-sum; only the reduced (rows,) pieces are
+    concatenated."""
+    import math
+
     per_tile = _smem_per_tile(G.wwords.shape[1])
     max_tiles = max(SMEM_BUDGET // per_tile, 1)
     n = G.n_tiles
+    K = G.k
+    tile = G.tr * LANE
+
+    def reduced(stream, rows):
+        return stream.reshape(rows, K).sum(axis=1, dtype=jnp.float32)
+
     if n <= max_tiles:
-        return gell_gather_pallas(G.wwords, G.counts, G.packed, G.vals, x,
-                                  s=G.s, tr=G.tr, wmode=G.wmode)
-    n_chunks = -(-n // max_tiles)
-    chunk = -(-n // n_chunks)
+        out = gell_gather_pallas(G.wwords, G.counts, G.packed, G.vals, x,
+                                 s=G.s, tr=G.tr, wmode=G.wmode)
+        return reduced(out, G.stream_rows)
+    step = K // math.gcd(K, tile)          # tiles per row-aligned unit
+    chunk = max((max_tiles // step) * step, step)
+    if chunk > max_tiles:
+        # pathological (unit itself over SMEM): flat reduce_window —
+        # layout-safe, measured 3-7x slower, never hit by real packings
+        outs = []
+        for c in range(0, n, max_tiles):
+            e = min(c + max_tiles, n)
+            outs.append(gell_gather_pallas(
+                G.wwords[c:e], G.counts[c:e], G.packed[c:e], G.vals[c:e],
+                x, s=G.s, tr=G.tr, wmode=G.wmode))
+        stream = jnp.concatenate(outs)
+        return jax.lax.reduce_window(stream, 0.0, jax.lax.add,
+                                     (K,), (K,), "VALID")
     outs = []
     for c in range(0, n, chunk):
         e = min(c + chunk, n)
-        outs.append(gell_gather_pallas(
+        out = gell_gather_pallas(
             G.wwords[c:e], G.counts[c:e], G.packed[c:e], G.vals[c:e], x,
-            s=G.s, tr=G.tr, wmode=G.wmode))
+            s=G.s, tr=G.tr, wmode=G.wmode)
+        outs.append(reduced(out, (e - c) * tile // K))
     return jnp.concatenate(outs)
 
 
