@@ -221,6 +221,13 @@ def _spmv_pallas_reduced(G: GellMatrix, x):
     n = G.n_tiles
     K = G.k
     tile = G.tr * LANE
+    # bound the per-call f32 stream temp even when SMEM would allow one
+    # call: an unchunked 64M-row P0 at 400^3 materializes a 1.28 GB
+    # pallas output per apply — with the hierarchy resident that tips a
+    # 16 GB chip into runtime OOM.  Chunks reduce eagerly, so the live
+    # temp is one chunk's stream (<= cap slots * 4 B).
+    cap_slots = int(os.environ.get("SPARSH_GELL_STREAM_CAP", 1 << 26))
+    max_tiles = min(max_tiles, max(cap_slots // tile, 1))
 
     def reduced(stream, rows):
         return stream.reshape(rows, K).sum(axis=1, dtype=jnp.float32)

