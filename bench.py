@@ -88,6 +88,10 @@ def main():
                          "0 = serial single chip)")
     ap.add_argument("--coarsening", default="rs",
                     choices=["rs", "pmis", "aggregation"])
+    ap.add_argument("--chunk", type=int, default=12,
+                    help="host-mode iterations per dispatch (smaller = "
+                         "smaller XLA temp arena; useful near the HBM "
+                         "ceiling at 50M+ unknowns single-chip)")
     ap.add_argument("--dense-size", type=int, default=2048,
                     help="densify levels at/below this n (GELL above). "
                          "8192 was the round-2 default (relay launch "
@@ -157,7 +161,7 @@ def main():
     # 4.79 s vs 6.55 s same-day at 192^3 (AB_SOLVE_r3_192.jsonl, VERDICT
     # r2 #3); on the relay the while_loop body dispatches per-op
     krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="host",
-                          chunk=12)
+                          chunk=args.chunk)
     setup_parts = {}
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,

@@ -116,6 +116,8 @@ def use_pallas_gell() -> bool:
     if os.environ.get("SPARSH_NO_PALLAS") or \
             os.environ.get("SPARSH_NO_PALLAS_GELL"):
         return False
+    if os.environ.get("SPARSH_FORCE_PALLAS_GELL"):
+        return True     # deviceless AOT analysis traces the real program
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:

@@ -212,7 +212,9 @@ class AMGSolver:
         # pass is start + tail chunks + finish: 2-4 dispatches, was 5-7.
         def kr_start(levels, Afine, b, k: int):
             state = kr_init(levels, Afine, b)
-            return kr_chunk(levels, Afine, b, state, k), b
+            # no rhat echo: the caller already holds b, and returning it
+            # costs a 256 MB output copy at 64M rows
+            return kr_chunk(levels, Afine, b, state, k)
 
         self._kr_start = jax.jit(kr_start, static_argnames=("k",))
 
@@ -315,7 +317,7 @@ class AMGSolver:
         else:
             main = max(1, kr.chunk)
             tail = max(1, main // 4)
-            st, _ = self._kr_start(levels, Afine, b_hi, k=main)
+            st = self._kr_start(levels, Afine, b_hi, k=main)
             st = self._kr_chunk(levels, Afine, b_hi, st, k=main)
             if tail != main:
                 st = self._kr_chunk(levels, Afine, b_hi, st, k=tail)
@@ -405,8 +407,9 @@ class AMGSolver:
                 tail = max(1, main // 4)
                 if p == 0:
                     rr0 = bnorm * bnorm
-                    state, rhat = self._kr_start(levels, self.A_df.A_hi,
-                                                 b_hi, k=main)
+                    state = self._kr_start(levels, self.A_df.A_hi,
+                                           b_hi, k=main)
+                    rhat = b_hi
                 else:
                     rr0 = rnsq_after
                     state, rhat = self._refine_start(
