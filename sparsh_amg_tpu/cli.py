@@ -23,8 +23,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sparsh_amg_tpu",
                                 description=__doc__)
     p.add_argument("--problem", default="poisson2d",
-                   help="poisson2d|poisson3d|anisotropic|elasticity|convection or a "
-                        "path to a MatrixMarket .mtx file")
+                   help="poisson2d|poisson3d|anisotropic|elasticity|"
+                        "elasticity3d|jump|convection or a path to a "
+                        "MatrixMarket .mtx file")
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--rhs", default=None, metavar="PATH",
                    help="right-hand-side file (.mtx array or plain text); "

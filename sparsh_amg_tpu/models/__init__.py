@@ -10,7 +10,8 @@ from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
 from .convection import convection2d
 from .jump import jump2d
-from .elasticity import elasticity2d, elasticity2d_nullspace
+from .elasticity import (elasticity2d, elasticity2d_nullspace,
+                         elasticity3d, elasticity3d_nullspace)
 from .problem import Problem, get_problem
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "jump2d",
     "elasticity2d",
     "elasticity2d_nullspace",
+    "elasticity3d",
+    "elasticity3d_nullspace",
     "Problem",
     "get_problem",
 ]

@@ -9,7 +9,8 @@ import scipy.sparse as sp
 
 from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
-from .elasticity import elasticity2d, elasticity2d_nullspace
+from .elasticity import (elasticity2d, elasticity2d_nullspace,
+                         elasticity3d, elasticity3d_nullspace)
 
 
 @dataclasses.dataclass
@@ -61,6 +62,12 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         meta = {"nx": nx}
         return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta,
                        nullspace=elasticity2d_nullspace(nx))
+    elif name == "elasticity3d":
+        nx = int(round(((n or 500_000) / 3) ** (1.0 / 3.0)))
+        A = elasticity3d(nx, **kw)
+        meta = {"nx": nx, "grid": (nx, nx, nx)}
+        return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta,
+                       nullspace=elasticity3d_nullspace(nx))
     elif name == "jump":
         from .jump import jump2d
         nx = int(round((n or 1_000_000) ** 0.5))

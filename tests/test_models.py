@@ -121,3 +121,24 @@ def test_jump2d_patterns_converge():
                                    interpolation="extpi", interp_max=4),
                       KrylovParams(maxiter=300)).solve(b)
         assert r.converged, pattern
+
+
+def test_elasticity3d_spd_and_rigid_body_modes():
+    """3-D hex elasticity: symmetric, positive definite, and the six
+    rigid-body modes are annihilated away from the clamped face."""
+    from sparsh_amg_tpu.models.elasticity import (elasticity3d,
+                                                  elasticity3d_nullspace,
+                                                  _grid3d_clamped)
+    A = elasticity3d(6)
+    B = elasticity3d_nullspace(6)
+    assert A.shape == (882, 882) and B.shape == (882, 6)
+    assert is_symmetric(A, tol=1e-8 * abs(A).max())
+    w = spla.eigsh(A.asfptype(), k=1, which="SA",
+                   return_eigenvectors=False)
+    assert w[0] > 0
+    r = A @ B
+    # dofs of nodes with ix > 1 see no clamped-face elimination: residual 0
+    _, clamped = _grid3d_clamped(6, 6, 6)
+    free = np.where(~clamped)[0]
+    interior = (free // 3) % 7 > 1
+    assert np.abs(r[interior]).max() < 1e-9 * abs(A).max()

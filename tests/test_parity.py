@@ -18,7 +18,9 @@ import pytest
 
 from sparsh_amg_tpu.models import (poisson2d, poisson3d, anisotropic2d,
                                    elasticity2d, convection2d)
-from sparsh_amg_tpu.models.elasticity import elasticity2d_nullspace as _elas_ns
+from sparsh_amg_tpu.models.elasticity import (
+    elasticity2d_nullspace as _elas_ns, elasticity3d as _elas3d,
+    elasticity3d_nullspace as _elas3d_ns)
 from sparsh_amg_tpu.models.jump import jump2d as _jump2d
 from sparsh_amg_tpu.params import AMGParams, KrylovParams
 from sparsh_amg_tpu.solve.solver import AMGSolver
@@ -68,6 +70,15 @@ PARITY_TABLE = [
                smoother="chebyshev", coarse_size=200, agg_blocksize=2,
                p_smooth_filter=False),
      KrylovParams(maxiter=300), 17),
+    # 3-D hex elasticity (VERDICT r3 next #8): 81-entry rows, 6 rigid-body
+    # modes through node-amalgamated aggregation (agg_blocksize=3) —
+    # 13/13/14 iters at m=8/12/16, opC <= 1.52
+    ("elasticity3d_12_rbm_sa_V_cg",
+     lambda: (_elas3d(12), _elas3d_ns(12)),
+     AMGParams(coarsening="aggregation", interpolation="smoothed",
+               smoother="chebyshev", coarse_size=200, agg_blocksize=3,
+               p_smooth_filter=False),
+     KrylovParams(maxiter=300), 13),
 ]
 
 
