@@ -11,6 +11,12 @@ Prints one JSON line per measurement:
    "per_op_ms": ..., "nnz_per_s": ..., "bytes_per_op": ...,
    "hbm_frac": ...}  (hbm_frac = achieved bytes/s / measured copy bw)
 
+The copy-bandwidth denominator is VALIDATED (VERDICT r3 next #5): probed
+before and after each suite (max wins — the relay link only ever
+under-reports), re-probed once if any kernel row would exceed 1x of it,
+and the process exits nonzero if a block is still implausible.  Final
+rows go to stdout only after validation; raw progress streams to stderr.
+
 Usage:  python kernel_bench.py [--n 96] [--reps 100] [--pallas {0,1}]
 """
 import argparse
@@ -50,14 +56,30 @@ def main():
                          "default measures both")
     args = ap.parse_args()
 
-    results = []
+    import sys
 
-    def emit(r):
-        results.append(r)
-        print(json.dumps(r), flush=True)   # incremental: keep partials on
-                                           # a mid-suite failure
+    any_implausible = False
+
+    def emit(rows, r):
+        rows.append(r)
+        # incremental progress to stderr: raw facts only — hbm_frac is
+        # computed at suite end against the VALIDATED denominator
+        print(json.dumps(r), file=sys.stderr, flush=True)
+
+    def probe_bw(bw_fn, xbw, nv):
+        """Chained copy-bandwidth probe, median of 3 fresh-content runs."""
+        import jax.numpy as jnp
+        ts = []
+        for i in range(3):
+            xi = xbw * (1.0 + 1e-6 * (i + 1))
+            xi.block_until_ready()
+            t0 = time.perf_counter()
+            float(jnp.sum(bw_fn(xi)))
+            ts.append(time.perf_counter() - t0)
+        return 2 * nv * 4 * 20 / float(np.median(ts))
 
     def run_suite(tag):
+        nonlocal any_implausible
         import jax
         import jax.numpy as jnp
         from sparsh_amg_tpu.models.poisson import poisson3d
@@ -79,6 +101,7 @@ def main():
         hier = amg_setup(A, params)
         dev = to_device(hier, params)
         reps = args.reps
+        rows = []
 
         # copy bandwidth as the roofline denominator — the 20 copies are
         # chained INSIDE one jit (separate dispatches through the relay
@@ -93,25 +116,16 @@ def main():
                 v = v * 1.0000001
             return v
         bw_fn(xbw).block_until_ready()
-        # median of 3 fresh-content runs: a single reading taken on a
-        # cold link recorded 2.1 GB/s in KBENCH_r3 xla mode (same chained
-        # code measured 188.5 GB/s minutes later) and poisoned every
-        # hbm_frac of that suite
-        ts = []
-        for i in range(3):
-            xi = xbw * (1.0 + 1e-6 * (i + 1))
-            xi.block_until_ready()
-            t0 = time.perf_counter()
-            float(jnp.sum(bw_fn(xi)))
-            ts.append(time.perf_counter() - t0)
-        bw = 2 * nv * 4 * 20 / float(np.median(ts))
-        # fixed spec denominator next to the measurement: fractions are
-        # reported against BOTH (VERDICT r2 weak #1 — the un-chained
-        # measured denominator made hbm_frac nonsense on bad-relay days)
+        # VERDICT r3 weak #1: a single cold-link probe (2.05 GB/s where the
+        # warm link measures ~190) made hbm_frac 38-72x nonsense in the
+        # committed KBENCH_r3 xla block even under median-of-3.  The
+        # denominator is now probed BEFORE and AFTER the suite (max wins —
+        # the link only ever under-reports), every kernel row is checked
+        # against it, and an implausible block (any kernel "faster than
+        # copy") triggers one re-probe and then a nonzero exit.
+        bw_pre = probe_bw(bw_fn, xbw, nv)
         from sparsh_amg_tpu.utils.meminfo import hbm_spec_bw
         bw_spec = hbm_spec_bw()
-        emit({"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9,
-              "spec_GBs": bw_spec / 1e9})
 
         from sparsh_amg_tpu.ops.gell import GellMatrix, SplitGell
 
@@ -158,14 +172,12 @@ def main():
             chain(x0).block_until_ready()          # compile
             dt = measure(chain, x0) / reps
             b = bytes_of(op)
-            emit({
+            emit(rows, {
                 "kernel": f"spmv_l{li}", "mode": tag, "layout": layout,
                 "n": hier.levels[li].n, "n_pad": op.n_pad, "nnz": int(nnz),
                 "per_op_ms": dt * 1e3,
                 "nnz_per_s": nnz / dt,
                 "bytes_per_op": int(b),
-                "hbm_frac": (b / dt) / bw,
-                "hbm_frac_spec": (b / dt) / bw_spec,
             })
 
         # transfer operators (prolongation/restriction): the gather-
@@ -195,12 +207,11 @@ def main():
                 chain(xt).block_until_ready()
                 dt = measure(chain, xt) / reps
                 b = bytes_of(op)
-                emit({
+                emit(rows, {
                     "kernel": f"{nm}_l{li}", "mode": tag, "layout": layout,
                     "shape": list(hop.shape), "nnz": int(nnz),
                     "per_op_ms": dt * 1e3, "nnz_per_s": nnz / dt,
-                    "bytes_per_op": int(b), "hbm_frac": (b / dt) / bw,
-                    "hbm_frac_spec": (b / dt) / bw_spec,
+                    "bytes_per_op": int(b),
                 })
 
         # full V-cycle chained
@@ -221,12 +232,43 @@ def main():
         cyc_chain(x0).block_until_ready()
         dt = measure(cyc_chain, x0) / n_cyc
         fine_nnz = hier.levels[0].nnz
-        emit({
+        emit(rows, {
             "kernel": "vcycle", "mode": tag,
             "n": hier.levels[0].n, "levels": dev.n_levels,
             "per_op_ms": dt * 1e3,
             "fine_nnz_per_s": fine_nnz / dt,
         })
+
+        # ---- denominator validation (VERDICT r3 next #5) ----
+        bw_post = probe_bw(bw_fn, xbw, nv)
+        bw = max(bw_pre, bw_post)
+
+        def max_frac(denom):
+            fr = [(r["bytes_per_op"] / (r["per_op_ms"] / 1e3)) / denom
+                  for r in rows if "bytes_per_op" in r]
+            return max(fr) if fr else 0.0
+
+        reprobed = False
+        if max_frac(bw) > 1.0:
+            # no kernel moves bytes faster than a plain copy: the probe is
+            # the implausible reading, not the kernel.  One more chance.
+            bw = max(bw, probe_bw(bw_fn, xbw, nv))
+            reprobed = True
+        plausible = max_frac(bw) <= 1.0
+        if not plausible:
+            any_implausible = True
+
+        hdr = {"kernel": "copy_bw", "mode": tag, "GBs": bw / 1e9,
+               "GBs_pre": bw_pre / 1e9, "GBs_post": bw_post / 1e9,
+               "spec_GBs": bw_spec / 1e9, "reprobed": reprobed,
+               "plausible": plausible}
+        print(json.dumps(hdr), flush=True)
+        for r in rows:
+            if "bytes_per_op" in r:
+                bps = r["bytes_per_op"] / (r["per_op_ms"] / 1e3)
+                r["hbm_frac"] = bps / bw
+                r["hbm_frac_spec"] = bps / bw_spec
+            print(json.dumps(r), flush=True)
 
     modes = [args.pallas] if args.pallas is not None else [0, 1]
     for p in modes:
@@ -234,6 +276,12 @@ def main():
         tag = "pallas" if p else "xla"
         run_suite(tag)
 
+    if any_implausible:
+        print(json.dumps({"error": "implausible_copy_bw",
+                          "detail": "a kernel exceeded 1x measured copy "
+                                    "bandwidth after re-probing; discard "
+                                    "this block"}), flush=True)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":
