@@ -88,6 +88,10 @@ def main():
                          "0 = serial single chip)")
     ap.add_argument("--coarsening", default="rs",
                     choices=["rs", "pmis", "aggregation"])
+    ap.add_argument("--loop-mode", default="auto",
+                    choices=["auto", "host", "device"],
+                    help="Krylov loop placement; auto probes the "
+                         "per-dispatch RTT (device when < 1 ms)")
     ap.add_argument("--chunk", type=int, default=12,
                     help="host-mode iterations per dispatch (smaller = "
                          "smaller XLA temp arena; useful near the HBM "
@@ -156,12 +160,14 @@ def main():
                        # ~4k exists, so the cap stays modest
                        dense_size=args.dense_size, cheby_degree_coarse=1,
                        cheby_coarse_from=1, **extra)
-    # host-chunked loop: trace-time-unrolled chunks of 12 iterations per
-    # dispatch with adaptive tail chunks — beat the device while_loop
-    # 4.79 s vs 6.55 s same-day at 192^3 (AB_SOLVE_r3_192.jsonl, VERDICT
-    # r2 #3); on the relay the while_loop body dispatches per-op
-    krylov = KrylovParams(method="cg", tol=args.tol, loop_mode="host",
-                          chunk=args.chunk)
+    # loop_mode="auto" (VERDICT r3 next #4): a measured per-dispatch RTT
+    # probe picks the placement — "host" on this relay (~30 ms RTT;
+    # trace-time-unrolled chunks beat the device while_loop 4.79 vs
+    # 6.55 s same-day at 192^3, AB_SOLVE_r3_192.jsonl) and "device"
+    # (single-dispatch while_loop, fewest iterations) on direct-attached
+    # chips where RTT is microseconds
+    krylov = KrylovParams(method="cg", tol=args.tol,
+                          loop_mode=args.loop_mode, chunk=args.chunk)
     setup_parts = {}
     if args.dist:
         from sparsh_amg_tpu.parallel.solver import (DistAMGSolver,
@@ -256,8 +262,12 @@ def main():
                               / max(res.solve_time, 1e-12) / bw_spec
                               if work.bytes_per_iter else None),
         "backend": jax.default_backend(),
+        "loop_mode": solver.krylov.loop_mode,   # resolved (auto -> probe)
         "device_bytes": solver.device_bytes(),
     }
+    if args.loop_mode == "auto":
+        from sparsh_amg_tpu.utils.timing import measure_dispatch_rtt
+        out["dispatch_rtt_ms"] = measure_dispatch_rtt() * 1e3
     if not args.dist:
         from sparsh_amg_tpu.utils.accounting import footprint_table
         out["device_bytes_by_level"] = footprint_table(solver.device,

@@ -73,8 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dense-size", type=int, default=2048)
     p.add_argument("--band-dtype", default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--loop-mode", default="host", choices=["host", "device"],
-                   help="Krylov loop placement (see KrylovParams)")
+    p.add_argument("--loop-mode", default="host",
+                   choices=["host", "device", "auto"],
+                   help="Krylov loop placement (see KrylovParams; auto "
+                        "probes the per-dispatch RTT)")
     p.add_argument("--chunk", type=int, default=4,
                    help="iterations per dispatch in host loop mode")
     p.add_argument("--reorder", default="auto",

@@ -198,7 +198,9 @@ class KrylovParams:
     # multi-host pods); "host" dispatches `chunk` iterations per jitted
     # call and checks convergence on the host — the reference's GPU-driver
     # pattern, robust to backends with per-while-iteration sync overhead.
-    loop_mode: str = "host"            # host | device
+    # "auto" probes the per-dispatch RTT at solver build and picks
+    # "device" when it is < 1 ms (utils.timing.resolve_loop_mode).
+    loop_mode: str = "host"            # host | device | auto
     chunk: int = 4                     # iterations per dispatch (host mode;
                                        # up to chunk-1 overrun per solve)
     # Mixed-precision iterative refinement: the device cycle runs in fp32

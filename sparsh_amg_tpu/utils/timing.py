@@ -54,3 +54,43 @@ def speed_of_light_spmv_nnz_per_s(hbm_bw_bytes: float,
     (fp32 value + int32 column + amortized x/y traffic; DIA layouts drop the
     column index and approach 6-8 B/nnz)."""
     return hbm_bw_bytes / bytes_per_nnz
+
+
+_RTT_CACHE: dict[str, float] = {}
+
+
+def measure_dispatch_rtt(reps: int = 5) -> float:
+    """Median seconds for one tiny jitted dispatch + blocking scalar
+    readback — the per-dispatch cost the host-chunked Krylov loop pays at
+    every convergence check.  Direct-attached TPUs measure ~0.1-1 ms;
+    this container's relay ~30-100 ms (CLAUDE.md tunnel notes).  Inputs
+    are fresh per rep (the relay caches identical-content transfers).
+    Cached per backend for the life of the process."""
+    import jax.numpy as jnp
+    key = jax.default_backend()
+    if key in _RTT_CACHE:
+        return _RTT_CACHE[key]
+    f = jax.jit(lambda x: x * 1.0000001)
+    jax.block_until_ready(f(jnp.zeros((8,), jnp.float32)))   # compile
+    ts = []
+    for i in range(reps):
+        x = jnp.full((8,), float(i + 1), dtype=jnp.float32)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    rtt = ts[len(ts) // 2]
+    _RTT_CACHE[key] = rtt
+    return rtt
+
+
+def resolve_loop_mode(mode: str, threshold_s: float = 1e-3) -> str:
+    """loop_mode="auto" -> "device" when the measured per-dispatch RTT is
+    below ``threshold_s`` (direct-attached: the single-dispatch while_loop
+    needs the fewest iterations and pays no per-check launch), else
+    "host" (relay/driver-bound links: per-while-iteration sync dominates;
+    same-day A/B at 192^3: while_loop 6.55 s vs host chunks 4.79 s)."""
+    if mode != "auto":
+        return mode
+    return "device" if measure_dispatch_rtt() < threshold_s else "host"

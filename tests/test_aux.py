@@ -95,8 +95,33 @@ def test_host_device_loop_modes_agree():
     assert rh.converged and rd.converged
     for r in (rh, rd):
         assert np.linalg.norm(b - A @ r.x) / np.linalg.norm(b) <= 1e-8
-    # host mode may overrun by at most chunk-1 per refinement pass
-    assert rh.iterations <= rd.iterations + 4 * rh.refine_passes
+    # the chunk scheduler (per-chunk contraction re-estimation + the
+    # {1,2,4} tail ladder) lands within +1 iteration of the while_loop
+    # count per refinement pass (VERDICT r3 next #4)
+    assert rh.iterations <= rd.iterations + rh.refine_passes
+
+
+def test_host_chunk_scheduler_tight_and_auto_mode():
+    """Host-chunked scheduling stays within +1 iteration per pass of the
+    device while_loop on a COLD solver (no warm-start contraction
+    estimate), at the flagship chunk size; loop_mode='auto' resolves."""
+    from sparsh_amg_tpu.models.poisson import poisson3d
+    A = poisson3d(20)
+    b = np.random.default_rng(7).standard_normal(A.shape[0])
+    params = AMGParams(smoother="chebyshev", coarsening="pmis",
+                       interpolation="extpi", interp_max=4,
+                       rap_drop_tol=0.01, agg_levels=1,
+                       interp_max_composed=5, aggressive="pmis2",
+                       coarse_size=400)
+    rd = AMGSolver(A, params, KrylovParams(loop_mode="device")).solve(b)
+    rh = AMGSolver(A, params, KrylovParams(loop_mode="host",
+                                           chunk=12)).solve(b)
+    assert rh.converged and rd.converged
+    assert rh.iterations <= rd.iterations + rh.refine_passes, \
+        (rh.iterations, rd.iterations, rh.history, rd.history)
+    # auto resolves via the RTT probe (CPU backend: sub-ms -> device)
+    ra = AMGSolver(A, params, KrylovParams(loop_mode="auto")).solve(b)
+    assert ra.converged
 
 
 def test_aggregation_poisson3d():

@@ -32,8 +32,11 @@ AGGRESSIVE = dict(coarsening="pmis", interpolation="extpi", interp_max=4,
 
 # (name, builder, params, krylov, expected_iters)
 PARITY_TABLE = [
+    # re-pinned round 4: the chunk scheduler (probe + {1,2,4} ladder)
+    # removed the host-mode overrun baked into the old 12 — the solve
+    # now stops at the same count the device while_loop needs
     ("poisson2d_64_jacobi_V_cg", lambda: poisson2d(64),
-     AMGParams(smoother="jacobi"), KrylovParams(), 12),
+     AMGParams(smoother="jacobi"), KrylovParams(), 9),
     ("poisson2d_64_cheby_V_cg", lambda: poisson2d(64),
      AMGParams(smoother="chebyshev"), KrylovParams(), 12),
     ("poisson3d_24_cheby_V_cg", lambda: poisson3d(24),
