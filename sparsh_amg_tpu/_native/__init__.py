@@ -76,6 +76,11 @@ def get_lib():
         ]
         lib.soc_symmetric.restype = None
         lib.soc_symmetric.argtypes = lib.soc_classical.argtypes
+        lib.soc_classical_rows.restype = None
+        lib.soc_classical_rows.argtypes = [
+            _i64, _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _f64, _ptr(np.uint8),
+        ]
         lib.mask_indptr.restype = None
         lib.mask_indptr.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.uint8), _ptr(np.int64),
@@ -236,6 +241,11 @@ def get_lib():
             _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
             _ptr(np.float64),
         ]
+        lib.gather_subrows_pattern.restype = None
+        lib.gather_subrows_pattern.argtypes = [
+            _i64, _ptr(np.int64), _ptr(np.int64), _ptr(np.int64),
+            _ptr(np.int32), _ptr(np.int32),
+        ]
         lib.mask_compress_data.restype = None
         lib.mask_compress_data.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
@@ -277,6 +287,18 @@ def get_lib():
         lib.multipass_interp.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
             _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _i64, _i64,
+            _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
+        ]
+        lib.multipass_ready.restype = None
+        lib.multipass_ready.argtypes = [
+            _i64, _ptr(np.int32), _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.uint8), _i32, _ptr(np.int32), _ptr(np.uint8),
+        ]
+        lib.multipass_step.restype = None
+        lib.multipass_step.argtypes = [
+            _i32, _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.uint8), _ptr(np.int8), _ptr(np.int32), _i64,
+            _ptr(np.int32), _ptr(np.int32), _i64,
             _ptr(np.int32), _ptr(np.float64), _ptr(np.int32),
         ]
         lib.slot_compact.restype = None

@@ -26,22 +26,32 @@ extern "C" {
 
 // Classical SoC: entry (i,j) is strong iff -a_ij >= theta * max_{k!=i}(-a_ik).
 // Diagonal entries are never strong.  strong[] is a per-nonzero mask.
-void soc_classical(int64_t n, const int64_t* indptr, const int32_t* indices,
-                   const double* data, double theta, uint8_t* strong) {
+// row0: global index of local row 0 — the diagonal of local row i sits at
+// column row0 + i.  Lets the blocked per-host setup run strength on a
+// row-block CSR with GLOBAL column ids (row0 = 0 is the classic case).
+void soc_classical_rows(int64_t n, int64_t row0, const int64_t* indptr,
+                        const int32_t* indices, const double* data,
+                        double theta, uint8_t* strong) {
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
+    const int32_t gi = (int32_t)(row0 + i);
     double maxoff = 0.0;
     for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-      if (indices[k] != i) maxoff = std::max(maxoff, -data[k]);
+      if (indices[k] != gi) maxoff = std::max(maxoff, -data[k]);
     }
     const double cut = theta * maxoff;
     for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-      strong[k] = (indices[k] != i && maxoff > 0.0 && -data[k] >= cut &&
+      strong[k] = (indices[k] != gi && maxoff > 0.0 && -data[k] >= cut &&
                    -data[k] > 0.0)
                       ? 1
                       : 0;
     }
   }
+}
+
+void soc_classical(int64_t n, const int64_t* indptr, const int32_t* indices,
+                   const double* data, double theta, uint8_t* strong) {
+  soc_classical_rows(n, 0, indptr, indices, data, theta, strong);
 }
 
 // indptr of the strong-mask-compressed CSR: out[i+1]-out[i] = kept entries
@@ -1696,6 +1706,21 @@ extern "C" void gather_subrows(int64_t n_sub, const int64_t* src_start,
   }
 }
 
+// Pattern-only variant (blocked-setup ghost-row replies on strength
+// CSRs, whose .data is a broadcast view — no value stream to copy).
+extern "C" void gather_subrows_pattern(int64_t n_sub,
+                                       const int64_t* src_start,
+                                       const int64_t* dst_start,
+                                       const int64_t* lens,
+                                       const int32_t* indices,
+                                       int32_t* out_indices) {
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t s = 0; s < n_sub; ++s) {
+    const int64_t a = src_start[s], b = dst_start[s], L = lens[s];
+    std::memcpy(out_indices + b, indices + a, (size_t)L * sizeof(int32_t));
+  }
+}
+
 // Masked CSR compress WITH values (the pattern-only variant lives in
 // mask_compress): out rows keep entries where mask != 0.
 void mask_compress_data(int64_t n, const int64_t* indptr,
@@ -1986,6 +2011,156 @@ static inline void mp_truncate_row(std::vector<int32_t>& cols,
   *out_len = (int32_t)cap;
 }
 
+// One multipass round, pass 1: direct interpolation from strong C
+// neighbours for the listed rows.  Shared by the single-host driver
+// (multipass_interp) and the blocked per-pass driver (multipass_step) —
+// the blocked path runs it on a ghost-extended LOCAL matrix, exchanging
+// boundary P rows between passes, and both produce bit-identical rows
+// (scan order is row order, truncation tie-breaks on slot position).
+static void mp_pass1_compute(const int64_t* indptr, const int32_t* indices,
+                             const double* data, const uint8_t* strong,
+                             const int8_t* cf, const int32_t* cmap,
+                             int64_t cap, const int32_t* cur, int64_t cn,
+                             int32_t* P_cols, double* P_vals,
+                             int32_t* P_len) {
+#pragma omp parallel
+  {
+    std::vector<int32_t> cols;
+    std::vector<double> vals;
+    std::vector<int64_t> order;
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t idx = 0; idx < cn; ++idx) {
+      const int32_t i = cur[idx];
+      double diag = 0.0, sneg_all = 0.0, spos_all = 0.0;
+      double sneg_C = 0.0, spos_C = 0.0;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        const double v = data[k];
+        if (j == i) { diag += v; continue; }
+        (v < 0 ? sneg_all : spos_all) += v;
+        if (strong[k] && cf[j] == 1) (v < 0 ? sneg_C : spos_C) += v;
+      }
+      const double alpha = (sneg_C != 0.0) ? sneg_all / sneg_C : 0.0;
+      double beta = 0.0;
+      if (spos_C != 0.0) beta = spos_all / spos_C;
+      else diag += spos_all;
+      cols.clear();
+      vals.clear();
+      if (diag != 0.0) {
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+          const int32_t j = indices[k];
+          if (j == i || !strong[k] || cf[j] != 1) continue;
+          const double v = data[k];
+          const double w = (v < 0 ? -alpha : -beta) * v / diag;
+          if (w != 0.0) { cols.push_back(cmap[j]); vals.push_back(w); }
+        }
+      }
+      mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
+                      P_vals + (int64_t)i * cap, P_len + i, order);
+    }
+  }
+}
+
+// One multipass round, pass p > 1: distribute a_ij over neighbours'
+// already-built rows; weak/unreachable connections lump into the
+// diagonal.  Row-local hash accumulator: an n_c-length acc is
+// DRAM-scatter-bound (47 MB/thread at the 100M north star).
+static void mp_passk_compute(const int64_t* indptr, const int32_t* indices,
+                             const double* data, const uint8_t* strong,
+                             int64_t cap, int32_t p, const int32_t* pass,
+                             const int32_t* cur, int64_t cn,
+                             int32_t* P_cols, double* P_vals,
+                             int32_t* P_len) {
+  int64_t max_deg = 1;
+#pragma omp parallel for schedule(static) reduction(max : max_deg)
+  for (int64_t idx = 0; idx < cn; ++idx) {
+    const int32_t i = cur[idx];
+    max_deg = std::max(max_deg, indptr[i + 1] - indptr[i]);
+  }
+  const int64_t hcap = pow2_at_least(2 * max_deg * cap);
+#pragma omp parallel
+  {
+    LocalHashMap hm;
+    hm.init(hcap, true);
+    std::vector<int64_t> touched;
+    std::vector<int32_t> cols;
+    std::vector<double> vals;
+    std::vector<int64_t> order;
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t idx = 0; idx < cn; ++idx) {
+      const int32_t i = cur[idx];
+      touched.clear();
+      double denom = 0.0;
+      bool fresh;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+        const int32_t j = indices[k];
+        const double a_ij = data[k];
+        if (j == i) { denom += a_ij; continue; }
+        if (strong[k] && pass[j] >= 0 && pass[j] < p && P_len[j] > 0) {
+          const int64_t base = (int64_t)j * cap;
+          for (int32_t s = 0; s < P_len[j]; ++s) {
+            const int64_t hs = hm.slot(P_cols[base + s], &fresh);
+            if (fresh) { hm.vals[hs] = 0.0; touched.push_back(hs); }
+            hm.vals[hs] += a_ij * P_vals[base + s];
+          }
+        } else {
+          denom += a_ij;    // weak / unusable: lump
+        }
+      }
+      cols.clear();
+      vals.clear();
+      if (denom != 0.0) {
+        const double inv = -1.0 / denom;
+        for (const int64_t hs : touched) {
+          const double w = inv * hm.vals[hs];
+          if (w != 0.0) {
+            cols.push_back(hm.keys[hs]);
+            vals.push_back(w);
+          }
+          hm.keys[hs] = -1;
+        }
+      } else {
+        for (const int64_t hs : touched) hm.keys[hs] = -1;
+      }
+      mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
+                      P_vals + (int64_t)i * cap, P_len + i, order);
+    }
+  }
+}
+
+// Ready-row classification for one multipass round: rows[i] is ready at
+// pass p iff it has a strong off-diagonal neighbour assigned in an
+// earlier pass.
+void multipass_ready(int64_t n_rows, const int32_t* rows,
+                     const int64_t* indptr, const int32_t* indices,
+                     const uint8_t* strong, int32_t p, const int32_t* pass,
+                     uint8_t* ready) {
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t idx = 0; idx < n_rows; ++idx) {
+    const int32_t i = rows[idx];
+    bool r = false;
+    for (int64_t k = indptr[i]; k < indptr[i + 1] && !r; ++k)
+      r = strong[k] && indices[k] != i && pass[indices[k]] >= 0 &&
+          pass[indices[k]] < p;
+    ready[idx] = r;
+  }
+}
+
+// One multipass round for an explicit row list (blocked per-host setup:
+// the driver exchanges boundary P rows + pass numbers between rounds).
+void multipass_step(int32_t p, const int64_t* indptr, const int32_t* indices,
+                    const double* data, const uint8_t* strong,
+                    const int8_t* cf, const int32_t* cmap, int64_t cap,
+                    const int32_t* pass, const int32_t* rows, int64_t n_rows,
+                    int32_t* P_cols, double* P_vals, int32_t* P_len) {
+  if (p == 1)
+    mp_pass1_compute(indptr, indices, data, strong, cf, cmap, cap, rows,
+                     n_rows, P_cols, P_vals, P_len);
+  else
+    mp_passk_compute(indptr, indices, data, strong, cap, p, pass, rows,
+                     n_rows, P_cols, P_vals, P_len);
+}
+
 int64_t multipass_interp(int64_t n, const int64_t* indptr,
                          const int32_t* indices, const double* data,
                          const uint8_t* strong, const int8_t* cf,
@@ -2014,119 +2189,20 @@ int64_t multipass_interp(int64_t n, const int64_t* indptr,
     cur.clear();
     next.clear();
     // classify this round (read-only wrt pass; flags in parallel)
-#pragma omp parallel for schedule(dynamic, 1024)
-    for (int64_t idx = 0; idx < fn; ++idx) {
+    multipass_ready(fn, frontier.data(), indptr, indices, strong, p,
+                    pass.data(), ready_flag.data());   // ready[idx] is
+    for (int64_t idx = 0; idx < fn; ++idx) {           // list-positional
       const int32_t i = frontier[idx];
-      bool ready = false;
-      for (int64_t k = indptr[i]; k < indptr[i + 1] && !ready; ++k)
-        ready = strong[k] && indices[k] != i && pass[indices[k]] >= 0 &&
-                pass[indices[k]] < p;
-      ready_flag[i] = ready;
-    }
-    for (int64_t idx = 0; idx < fn; ++idx) {
-      const int32_t i = frontier[idx];
-      (ready_flag[i] ? cur : next).push_back(i);
+      (ready_flag[idx] ? cur : next).push_back(i);
     }
     if (cur.empty()) break;    // isolated remainder: empty rows
     const int64_t cn = (int64_t)cur.size();
-    if (p == 1) {
-      // direct interpolation from strong C neighbours
-#pragma omp parallel
-      {
-        std::vector<int32_t> cols;
-        std::vector<double> vals;
-        std::vector<int64_t> order;
-#pragma omp for schedule(dynamic, 256)
-        for (int64_t idx = 0; idx < cn; ++idx) {
-          const int32_t i = cur[idx];
-          double diag = 0.0, sneg_all = 0.0, spos_all = 0.0;
-          double sneg_C = 0.0, spos_C = 0.0;
-          for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-            const int32_t j = indices[k];
-            const double v = data[k];
-            if (j == i) { diag += v; continue; }
-            (v < 0 ? sneg_all : spos_all) += v;
-            if (strong[k] && cf[j] == 1) (v < 0 ? sneg_C : spos_C) += v;
-          }
-          const double alpha = (sneg_C != 0.0) ? sneg_all / sneg_C : 0.0;
-          double beta = 0.0;
-          if (spos_C != 0.0) beta = spos_all / spos_C;
-          else diag += spos_all;
-          cols.clear();
-          vals.clear();
-          if (diag != 0.0) {
-            for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-              const int32_t j = indices[k];
-              if (j == i || !strong[k] || cf[j] != 1) continue;
-              const double v = data[k];
-              const double w = (v < 0 ? -alpha : -beta) * v / diag;
-              if (w != 0.0) { cols.push_back(cmap[j]); vals.push_back(w); }
-            }
-          }
-          mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
-                          P_vals + (int64_t)i * cap, P_len + i, order);
-        }
-      }
-    } else {
-      // distribute a_ij over neighbours' built rows; weak lumps to diag.
-      // row-local hash accumulator: an n_c-length acc is DRAM-scatter-
-      // bound (47 MB/thread at the 100M north star)
-      int64_t max_deg = 1;
-#pragma omp parallel for schedule(static) reduction(max : max_deg)
-      for (int64_t idx = 0; idx < cn; ++idx) {
-        const int32_t i = cur[idx];
-        max_deg = std::max(max_deg, indptr[i + 1] - indptr[i]);
-      }
-      const int64_t hcap = pow2_at_least(2 * max_deg * cap);
-#pragma omp parallel
-      {
-        LocalHashMap hm;
-        hm.init(hcap, true);
-        std::vector<int64_t> touched;
-        std::vector<int32_t> cols;
-        std::vector<double> vals;
-        std::vector<int64_t> order;
-#pragma omp for schedule(dynamic, 256)
-        for (int64_t idx = 0; idx < cn; ++idx) {
-          const int32_t i = cur[idx];
-          touched.clear();
-          double denom = 0.0;
-          bool fresh;
-          for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-            const int32_t j = indices[k];
-            const double a_ij = data[k];
-            if (j == i) { denom += a_ij; continue; }
-            if (strong[k] && pass[j] >= 0 && pass[j] < p && P_len[j] > 0) {
-              const int64_t base = (int64_t)j * cap;
-              for (int32_t s = 0; s < P_len[j]; ++s) {
-                const int64_t hs = hm.slot(P_cols[base + s], &fresh);
-                if (fresh) { hm.vals[hs] = 0.0; touched.push_back(hs); }
-                hm.vals[hs] += a_ij * P_vals[base + s];
-              }
-            } else {
-              denom += a_ij;    // weak / unusable: lump
-            }
-          }
-          cols.clear();
-          vals.clear();
-          if (denom != 0.0) {
-            const double inv = -1.0 / denom;
-            for (const int64_t hs : touched) {
-              const double w = inv * hm.vals[hs];
-              if (w != 0.0) {
-                cols.push_back(hm.keys[hs]);
-                vals.push_back(w);
-              }
-              hm.keys[hs] = -1;
-            }
-          } else {
-            for (const int64_t hs : touched) hm.keys[hs] = -1;
-          }
-          mp_truncate_row(cols, vals, cap, P_cols + (int64_t)i * cap,
-                          P_vals + (int64_t)i * cap, P_len + i, order);
-        }
-      }
-    }
+    if (p == 1)
+      mp_pass1_compute(indptr, indices, data, strong, cf, cmap, cap,
+                       cur.data(), cn, P_cols, P_vals, P_len);
+    else
+      mp_passk_compute(indptr, indices, data, strong, cap, p, pass.data(),
+                       cur.data(), cn, P_cols, P_vals, P_len);
     // commit pass numbers AFTER the rows are built (rows of pass p must
     // not read other pass-p rows)
     for (int64_t idx = 0; idx < cn; ++idx) pass[cur[idx]] = p;

@@ -1,249 +1,1122 @@
-"""Per-host row-block setup for the finest level (SURVEY.md §3.2: the
-reference coarsens under MPI with boundary exchanges; VERDICT r2 next #7).
+"""Process-local (per-host) AMG setup over row blocks (SURVEY.md §3.2:
+the reference coarsens under MPI with boundary exchanges; VERDICT r3
+next #1/#2/#7).
 
-The single-host native setup measured 195 s / 33 GB at 100M unknowns, so
-global setup covers the v5p-16 north star — this module is the designed
-escape hatch beyond it (~1B+ rows): every host builds strength, PMIS and
-interpolation rows for its contiguous row block, exchanging only boundary
-data.  The exchanges, in pod order:
+Every rank owns a contiguous row block of each level and builds strength,
+PMIS, interpolation, R = P^T and the Galerkin RAP for its rows only,
+exchanging nothing but BOUNDARY data through a :class:`~..setup.comm.
+BlockComm` (ghost rows, halo C/F states, prefix counts) — no rank ever
+materializes the global matrix or hierarchy.  The exchanges, in pod
+order:
 
-  1. ST-degrees: each host bincounts the columns of its strength rows and
-     the partial counts are reduced to the owners (one additive exchange).
-     PMIS weights w_i = deg_i + hash01(global_i) are then host-local.
-  2. incoming strength edges: each host sends its outgoing boundary edges
-     (j -> i, i remote) to i's owner — one structural exchange giving
-     every host ST rows for its owned points.
-  3. per-PMIS-round: C/F states of boundary points, twice per round
-     (after selection, after F-marking) — the distributed PMIS of
-     De Sterck/Yang/Heys 2006, exactly hypre's pattern.
-  4. pre-interpolation: ghost A rows at distance 1 plus C/F and coarse
-     ids at distance 2 (ext+i reads neighbour ROWS at distance 1 and
-     only cf/coarse-id of distance-2 points), and the exclusive prefix
-     scan of per-host C counts that globalizes coarse numbering.
+  1. ST-degrees: additive routing of per-rank strength-column counts to
+     their owners (PMIS weights w_i = deg_i + hash01(i) are then local).
+  2. incoming strength edges: outgoing boundary edges (j -> i, i remote)
+     routed to i's owner — every rank holds ST rows for its owned points.
+  3. per-PMIS-round: C/F states of halo points, twice per round (after
+     selection, after F-marking) — distributed PMIS exactly as in
+     De Sterck/Yang/Heys 2006 (hypre's pattern).
+  4. pre-interpolation: ghost A rows at distance 1 plus (cf, coarse id)
+     at distance 2, and the exclusive prefix scan of per-rank C counts
+     that globalizes coarse numbering.
+  5. per-multipass-round (aggressive "pmis2" scheme): pass numbers + P
+     rows of halo points — Stuben multipass with the SAME native row
+     kernels (`multipass_step`) the global path runs, so rows are
+     bit-identical.
+  6. transpose: P entries routed to their coarse-row owners (R rows
+     assemble in ascending fine order, matching `csr_transpose`).
+  7. RAP: local W = A P and P^T W contributions routed to coarse-row
+     owners and summed in rank order; the ML-style drop/lump filter runs
+     row-local with fetched column diagonals.
 
-This file SIMULATES the hosts sequentially in one process, but each
-block's compute reads only its owned rows plus the explicitly exchanged
-halo structures above, so the data flow is pod-shaped.  Because PMIS
-weights are pure functions of global index + exchanged degrees, and the
-ext+i row formula reads only distance-<=2 data, the stitched (cf, P) are
-BIT-IDENTICAL to the global `_coarsen_once` output — asserted by
-tests/test_blocked.py on 64^3 Poisson.
+Bit-identity: (cf, P) per level are bit-identical to the global setup —
+PMIS weights are pure functions of global index + exchanged degrees, and
+every interpolation row is computed by the same native kernel on the
+same (ghost-extended, order-preserving) inputs.  The RAP sums
+contributions in a different (rank) order than the fused global kernel,
+so coarse operators agree to rounding; iteration counts match within the
+±1 the VERDICT allows, asserted in tests/test_blocked.py.
+
+Run under :func:`~.comm.run_blocked` (threads; tests) or with a
+:class:`~.comm.GlooComm` from real `jax.distributed` processes
+(parallel/multihost.py).
 """
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 import scipy.sparse as sp
 
 from ..params import AMGParams
+from .comm import BlockComm
 from .strength import classical_strength
 from .splitting import _hash01, FPT, CPT
-from .interp import extpi_interpolation, direct_interpolation, truncate_rows
+from .interp import (extpi_interpolation, direct_interpolation,
+                     truncate_rows)
+from .galerkin import spgemm
+from .._native import get_lib, csr_arrays
 
 UNASSIGNED = -1
+_I64 = np.int64
 
+
+# ---------------------------------------------------------------------------
+# Bounds / ownership
+# ---------------------------------------------------------------------------
 
 def block_bounds(n: int, n_blocks: int) -> np.ndarray:
-    """Contiguous row-block boundaries (n_blocks+1,), balanced like
-    parallel.partition: first n % n_blocks blocks get one extra row."""
+    """Balanced contiguous row-block boundaries (n_blocks+1,)."""
     base, rem = divmod(n, n_blocks)
-    sizes = np.full(n_blocks, base, dtype=np.int64)
+    sizes = np.full(n_blocks, base, dtype=_I64)
     sizes[:rem] += 1
     return np.concatenate([[0], np.cumsum(sizes)])
 
 
-def _st_degrees(S_blocks, n: int) -> np.ndarray:
-    """Exchange 1: additive reduction of per-host column counts.  Each
-    host contributes bincount(columns of its strength rows); the sum is
-    the global ST row degree."""
-    deg = np.zeros(n, dtype=np.int64)
-    for Sb in S_blocks:
-        if Sb.nnz:
-            deg += np.bincount(Sb.indices, minlength=n)
-    return deg
+def partition_bounds(n: int, nd: int, n_procs: int) -> np.ndarray:
+    """Device-ALIGNED bounds: rank b owns the rows of its nd/n_procs
+    device shards under ``parallel.partition.Partition.make(n, nd)`` —
+    the blocked hierarchy then freezes into per-shard device arrays with
+    no re-partitioning exchange."""
+    from ..parallel.partition import Partition
+    part = Partition.make(n, nd)
+    dpp = nd // n_procs
+    cuts = np.minimum(np.arange(n_procs + 1, dtype=_I64) * dpp * part.n_loc,
+                      n)
+    return cuts
 
 
-def _incoming_edges(S_blocks, bounds, n: int) -> sp.csr_matrix:
-    """Exchange 2: route outgoing strength edges to their target's owner.
-    Returns the global ST pattern (each host holds rows of its block)."""
-    rows = []
-    cols = []
-    for b, Sb in enumerate(S_blocks):
-        r0 = bounds[b]
-        src = np.repeat(np.arange(Sb.shape[0], dtype=np.int64) + r0,
-                        np.diff(Sb.indptr))
-        rows.append(Sb.indices.astype(np.int64))   # target point (new row)
-        cols.append(src)                           # source point
-    rows = np.concatenate(rows) if rows else np.empty(0, dtype=np.int64)
-    cols = np.concatenate(cols) if cols else np.empty(0, dtype=np.int64)
-    ST = sp.csr_matrix(
-        (np.ones(len(rows), dtype=np.int8), (rows, cols)), shape=(n, n))
-    ST.sort_indices()
-    return ST
+def owner_of(idx: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    return np.searchsorted(bounds, np.asarray(idx, dtype=_I64),
+                           side="right") - 1
 
 
-def blocked_pmis(S_blocks, bounds, n: int, seed: int = 0) -> np.ndarray:
-    """Distributed PMIS over row blocks, replicating the native
-    `pmis_cf` semantics exactly (amg_core.cpp:384): w = |ST_i| +
-    hash01(i, seed); per round, an unassigned i becomes C when no
-    unassigned j != i in S(i) u ST(i) has w_j >= w_i; then unassigned
-    points strongly depending on a C become F.  `cf` plays the role of
-    the exchanged boundary state: each block WRITES only its own rows
-    and reads only owned + halo entries."""
-    deg = _st_degrees(S_blocks, n)                       # exchange 1
-    ST = _incoming_edges(S_blocks, bounds, n)            # exchange 2
-    w = deg.astype(np.float64) + _hash01(
-        np.arange(n, dtype=np.uint64), seed)
-    cf = np.full(n, UNASSIGNED, dtype=np.int8)
+# ---------------------------------------------------------------------------
+# Fetch primitives (request/reply routing over comm.alltoall)
+# ---------------------------------------------------------------------------
 
-    n_blocks = len(S_blocks)
-    # per-block precomputed row ids of each nnz (for segment max)
-    blk = []
-    for b in range(n_blocks):
-        r0, r1 = bounds[b], bounds[b + 1]
-        Sb = S_blocks[b]
-        STb = ST[r0:r1]
-        s_rows = np.repeat(np.arange(r1 - r0), np.diff(Sb.indptr))
-        st_rows = np.repeat(np.arange(r1 - r0), np.diff(STb.indptr))
-        # isolated points (no strength in either direction) -> F upfront
-        iso = (np.diff(Sb.indptr) == 0) & (np.diff(STb.indptr) == 0)
-        cf[r0:r1][iso] = FPT
-        blk.append((r0, r1, Sb, STb, s_rows, st_rows))
-
-    prev_un = int((cf == UNASSIGNED).sum())
-    while prev_un > 0:
-        un = cf == UNASSIGNED                      # halo state, pre-round
-        # --- selection phase: every block reads the SAME pre-round cf ---
-        new_c = []
-        for r0, r1, Sb, STb, s_rows, st_rows in blk:
-            nloc = r1 - r0
-            loc = np.arange(r0, r1)
-            m = np.full(nloc, -np.inf)
-            for rows_nnz, Mb in ((s_rows, Sb), (st_rows, STb)):
-                if Mb.nnz == 0:
-                    continue
-                j = Mb.indices
-                wj = np.where(un[j] & (j != (rows_nnz + r0)), w[j], -np.inf)
-                np.maximum.at(m, rows_nnz, wj)
-            new_c.append(un[loc] & (w[r0:r1] > m))
-        # exchange 3a: publish this round's C points
-        for (r0, r1, *_), nc in zip(blk, new_c):
-            cf[r0:r1][nc] = CPT
-        # --- F phase: reads post-selection cf (new halo Cs included) ---
-        for r0, r1, Sb, _, s_rows, _ in blk:
-            un_loc = cf[r0:r1] == UNASSIGNED
-            if not un_loc.any() or Sb.nnz == 0:
-                continue
-            hit = np.zeros(r1 - r0, dtype=bool)
-            np.logical_or.at(hit, s_rows, cf[Sb.indices] == CPT)
-            cf[r0:r1][un_loc & hit] = FPT
-        # exchange 3b: publish F states; stall guard as in the native code
-        now_un = int((cf == UNASSIGNED).sum())
-        if now_un == prev_un:
-            break
-        prev_un = now_un
-    cf[cf == UNASSIGNED] = CPT
-    return cf
+def _split_by_owner(want: np.ndarray, bounds: np.ndarray, size: int):
+    """want must be sorted; returns per-destination slices (views)."""
+    own = owner_of(want, bounds)
+    cuts = np.searchsorted(own, np.arange(size + 1))
+    return [want[cuts[d]:cuts[d + 1]] for d in range(size)]
 
 
-def _extended_rows(A: sp.csr_matrix, r0: int, r1: int):
-    """Exchange 4 (structure): the ghost row set a host needs for ext+i —
-    every point referenced by its owned rows (distance 1, full A rows)
-    plus every point referenced by THOSE rows (distance 2, cf/coarse-id
-    only).  Returns (e1, e2): sorted global id arrays, owned ⊆ e1 ⊆ e2."""
-    owned = np.arange(r0, r1, dtype=np.int64)
-    cols1 = A.indices[A.indptr[r0]:A.indptr[r1]].astype(np.int64)
-    e1 = np.union1d(owned, cols1)
-    lo, hi = A.indptr[e1], A.indptr[e1 + 1]
-    cols2 = np.concatenate([A.indices[a:b] for a, b in zip(lo, hi)]) \
-        if len(e1) else np.empty(0, dtype=np.int32)
-    e2 = np.union1d(e1, cols2.astype(np.int64))
-    return e1, e2
+def fetch_values(comm: BlockComm, bounds: np.ndarray, r0: int,
+                 arrays: dict, want: np.ndarray) -> dict:
+    """Values of rank-owned arrays at the (sorted) global indices
+    ``want`` — the generic halo-data fetch (2 alltoalls)."""
+    reqs = _split_by_owner(want, bounds, comm.size)
+    got = comm.alltoall(reqs)
+    replies = []
+    for g in got:
+        loc = np.asarray(g, dtype=_I64) - r0
+        replies.append({k: np.asarray(a)[loc] for k, a in arrays.items()})
+    resp = comm.alltoall(replies)
+    return {k: (np.concatenate([r[k] for r in resp])
+                if want.size else np.empty(0, arrays[k].dtype))
+            for k in arrays}
 
 
-def blocked_interpolation(A: sp.csr_matrix, cf: np.ndarray, bounds,
-                          params: AMGParams) -> sp.csr_matrix:
-    """Build interpolation rows per block from exchanged ghost rows and
-    stitch.  Each block assembles a local square matrix over its
-    distance-2 node set (rows filled only for owned + distance-1 ghosts
-    — exactly the rows a pod host receives), runs the SAME native ext+i
-    kernel on it, and keeps its owned P rows with columns remapped to
-    the global coarse numbering (prefix-scan exchange)."""
-    n = A.shape[0]
-    is_c = cf == CPT
-    gmap = np.cumsum(is_c, dtype=np.int64) - 1   # global coarse ids
-    n_c = int(is_c.sum())
-    n_blocks = len(bounds) - 1
-    parts = []
-    for b in range(n_blocks):
-        r0, r1 = int(bounds[b]), int(bounds[b + 1])
-        e1, e2 = _extended_rows(A, r0, r1)
-        ne = len(e2)
-        # local square CSR: rows for e1 hold the full exchanged A rows
-        # (column ids remapped into e2-local space), rows e2\e1 stay
-        # empty — ext+i never reads beyond distance-1 rows.
-        fill = np.isin(e2, e1)
-        counts = np.zeros(ne, dtype=np.int64)
-        counts[fill] = (A.indptr[e1 + 1] - A.indptr[e1])
-        indptr = np.concatenate([[0], np.cumsum(counts)])
-        idx_chunks = [A.indices[A.indptr[i]:A.indptr[i + 1]] for i in e1]
-        dat_chunks = [A.data[A.indptr[i]:A.indptr[i + 1]] for i in e1]
-        gcols = np.concatenate(idx_chunks) if idx_chunks else \
-            np.empty(0, dtype=A.indices.dtype)
-        data = np.concatenate(dat_chunks) if dat_chunks else \
-            np.empty(0, dtype=A.data.dtype)
-        lcols = np.searchsorted(e2, gcols).astype(np.int32)
-        A_loc = sp.csr_matrix((data, lcols, indptr), shape=(ne, ne))
-        # strength is row-local: identical mask per (full) row
-        strong_loc, _ = classical_strength(A_loc, params.theta)
-        cf_loc = cf[e2]
-        if params.interpolation == "extpi":
-            P_loc = extpi_interpolation(A_loc, strong_loc, cf_loc)
+def fetch_rows(comm: BlockComm, bounds: np.ndarray, r0: int,
+               M_own: sp.csr_matrix, want: np.ndarray,
+               with_data: bool = True) -> sp.csr_matrix:
+    """CSR rows of a rank-owned row-block matrix at the (sorted) global
+    indices ``want`` (ghost-row exchange; native sub-row gather on the
+    reply side — no Python row loops, VERDICT r3 weak #4)."""
+    reqs = _split_by_owner(want, bounds, comm.size)
+    got = comm.alltoall(reqs)
+    replies = []
+    for g in got:
+        loc = np.asarray(g, dtype=_I64) - r0
+        replies.append(_take_rows(M_own, loc, with_data))
+    resp = comm.alltoall(replies)
+    indptrs = [r[0] for r in resp]
+    counts = (np.concatenate([np.diff(ip) for ip in indptrs])
+              if want.size else np.empty(0, _I64))
+    indptr = np.zeros(want.size + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = (np.concatenate([r[1] for r in resp])
+               if want.size else np.empty(0, np.int32))
+    shape = (int(want.size), M_own.shape[1])
+    if not with_data:
+        return _pattern_csr(indptr, indices, shape)
+    data = (np.concatenate([r[2] for r in resp])
+            if want.size else np.empty(0, np.float64))
+    out = sp.csr_matrix(shape)
+    out.data, out.indices, out.indptr = data, indices, indptr
+    return out
+
+
+def _take_rows(M: sp.csr_matrix, rows: np.ndarray, with_data: bool):
+    """(indptr, indices[, data]) of the selected local rows — native
+    gather_subrows when available (one parallel pass, no per-row Python;
+    pattern-only variant for strength CSRs whose .data is a broadcast
+    view)."""
+    rows = np.asarray(rows, dtype=_I64)
+    lo = M.indptr[rows].astype(_I64)
+    counts = (M.indptr[rows + 1] - M.indptr[rows]).astype(_I64)
+    indptr = np.zeros(len(rows) + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    idx = np.empty(nnz, dtype=np.int32)
+    dat = np.empty(nnz, dtype=np.float64) if with_data else None
+    lib = get_lib()
+    if lib is not None and nnz:
+        Mi = np.ascontiguousarray(M.indices, dtype=np.int32)
+        dst = np.ascontiguousarray(indptr[:-1])
+        if with_data:
+            Md = np.ascontiguousarray(M.data, dtype=np.float64)
+            lib.gather_subrows(len(rows), lo, dst, counts, Mi, Md,
+                               idx, dat)
         else:
-            P_loc = direct_interpolation(A_loc, strong_loc, cf_loc)
-        # owned rows of P_loc; local coarse k -> e2's k-th C point ->
-        # global coarse id
-        own_pos = np.searchsorted(e2, np.arange(r0, r1))
-        P_own = P_loc[own_pos]
-        lc_nodes = e2[cf_loc == CPT]             # sorted global ids
-        col_map = gmap[lc_nodes].astype(np.int64)
-        P_own = sp.csr_matrix(
-            (P_own.data, col_map[P_own.indices], P_own.indptr),
-            shape=(r1 - r0, n_c))
-        parts.append(P_own)
-    # NOTE: intra-row order is the kernel's emission order, NOT sorted —
-    # truncation tie-breaks on slot order, so sorting here would pick
-    # different entries than the global path on |w| ties.
-    return sp.vstack(parts, format="csr")
+            lib.gather_subrows_pattern(len(rows), lo, dst, counts, Mi,
+                                       idx)
+    else:
+        o = 0
+        for a, c in zip(lo, counts):
+            idx[o:o + c] = M.indices[a:a + c]
+            if with_data:
+                dat[o:o + c] = M.data[a:a + c]
+            o += int(c)
+    if with_data:
+        return indptr, idx, dat
+    return indptr, idx
+
+
+def _pattern_csr(indptr, indices, shape) -> sp.csr_matrix:
+    """Pattern-only CSR with broadcast-ones data (4 bytes, not nnz*4)."""
+    out = sp.csr_matrix(shape)
+    out.data = np.broadcast_to(np.float32(1.0), (int(indptr[-1]),))
+    out.indices, out.indptr = indices, indptr
+    return out
+
+
+def _ghosts_of(cols: np.ndarray, r0: int, r1: int) -> np.ndarray:
+    """Sorted unique global column ids outside the owned range."""
+    if cols.size == 0:
+        return np.empty(0, dtype=_I64)
+    g = np.unique(np.asarray(cols, dtype=_I64))
+    return g[(g < r0) | (g >= r1)]
+
+
+def _local_pos(idx: np.ndarray, r0: int, r1: int,
+               ghosts: np.ndarray) -> np.ndarray:
+    """Positions in the local node space [ghosts<r0 | owned | ghosts>=r1]
+    — i.e. the SORTED array nodes = union(owned, ghosts).  Owned rows
+    stay contiguous, and local order preserves global order (the native
+    row kernels then scan columns in the same order as the global path,
+    keeping interpolation rows bit-identical)."""
+    idx = np.asarray(idx, dtype=_I64)
+    n_left = int(np.searchsorted(ghosts, r0))
+    out = np.empty(idx.shape, dtype=_I64)
+    left = idx < r0
+    right = idx >= r1
+    mid = ~(left | right)
+    out[mid] = n_left + (idx[mid] - r0)
+    out[left] = np.searchsorted(ghosts, idx[left])
+    out[right] = n_left + (r1 - r0) + (
+        np.searchsorted(ghosts, idx[right]) - n_left)
+    return out
+
+
+def _local_nodes(r0: int, r1: int, ghosts: np.ndarray):
+    """(nodes, own_start): sorted global node ids of the local space and
+    the local position of owned row 0."""
+    n_left = int(np.searchsorted(ghosts, r0))
+    nodes = np.concatenate([ghosts[:n_left],
+                            np.arange(r0, r1, dtype=_I64),
+                            ghosts[n_left:]])
+    return nodes, n_left
+
+
+# ---------------------------------------------------------------------------
+# Distributed PMIS (generic over the index space: fine level or C-graph)
+# ---------------------------------------------------------------------------
+
+def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
+                      bounds: np.ndarray, comm: BlockComm,
+                      seed: int = 0) -> np.ndarray:
+    """Distributed PMIS on owned strength rows (global columns),
+    replicating the native `pmis_cf` semantics exactly: w = |ST_i| +
+    hash01(i, seed); per round an unassigned i becomes C when no
+    unassigned j != i in S(i) ∪ ST(i) has w_j >= w_i, then unassigned
+    points strongly depending on a C become F.  Returns cf for the owned
+    rows."""
+    nloc = r1 - r0
+    size = comm.size
+    S_cols = np.asarray(S_own.indices, dtype=_I64)
+    S_rows_g = r0 + np.repeat(np.arange(nloc, dtype=_I64),
+                              np.diff(S_own.indptr))
+
+    # exchange 1: ST degrees (additive reduction routed to owners)
+    uniq, cnt = (np.unique(S_cols, return_counts=True) if S_cols.size
+                 else (np.empty(0, _I64), np.empty(0, _I64)))
+    parts = _split_by_owner(uniq, bounds, size)
+    send = []
+    o = 0
+    for d in range(size):
+        k = parts[d].size
+        send.append((parts[d], cnt[o:o + k]))
+        o += k
+    got = comm.alltoall(send)
+    deg = np.zeros(nloc, dtype=_I64)
+    for gidx, gcnt in got:
+        np.add.at(deg, np.asarray(gidx, dtype=_I64) - r0, gcnt)
+
+    # exchange 2: incoming strength edges (ST rows for owned points)
+    tgt_owner = owner_of(S_cols, bounds)
+    order = np.argsort(tgt_owner, kind="stable")
+    so_cols, so_src = S_cols[order], S_rows_g[order]
+    cuts = np.searchsorted(tgt_owner[order], np.arange(size + 1))
+    send = [(so_cols[cuts[d]:cuts[d + 1]], so_src[cuts[d]:cuts[d + 1]])
+            for d in range(size)]
+    got = comm.alltoall(send)
+    in_t = (np.concatenate([g[0] for g in got]) if got
+            else np.empty(0, _I64))
+    in_s = (np.concatenate([g[1] for g in got]) if got
+            else np.empty(0, _I64))
+    n_cols = S_own.shape[1]
+    ST_own = sp.csr_matrix(
+        (np.ones(in_t.size, dtype=np.int8),
+         (np.asarray(in_t, dtype=_I64) - r0, in_s)),
+        shape=(max(nloc, 1), n_cols))[:nloc]
+    ST_own.sort_indices()
+
+    # ghost value space
+    ST_cols = np.asarray(ST_own.indices, dtype=_I64)
+    ghosts = _ghosts_of(np.concatenate([S_cols, ST_cols]), r0, r1)
+    deg_g = fetch_values(comm, bounds, r0, {"deg": deg}, ghosts)["deg"] \
+        if True else None
+    w_own = deg.astype(np.float64) + _hash01(
+        np.arange(r0, r1, dtype=np.uint64), seed)
+    w_g = deg_g.astype(np.float64) + _hash01(
+        ghosts.astype(np.uint64), seed)
+    w_ext = np.concatenate([w_own, w_g])
+
+    # extended-index maps for the nnz of S_own and ST_own
+    def ecol(cols):
+        out = np.empty(cols.shape, dtype=_I64)
+        own = (cols >= r0) & (cols < r1)
+        out[own] = cols[own] - r0
+        out[~own] = nloc + np.searchsorted(ghosts, cols[~own])
+        return out
+
+    s_e = ecol(S_cols)
+    st_e = ecol(ST_cols)
+    s_rows = np.repeat(np.arange(nloc, dtype=_I64), np.diff(S_own.indptr))
+    st_rows = np.repeat(np.arange(nloc, dtype=_I64), np.diff(ST_own.indptr))
+    s_self = S_cols == (s_rows + r0)
+    st_self = ST_cols == (st_rows + r0)
+
+    cf_own = np.full(nloc, UNASSIGNED, dtype=np.int8)
+    iso = (np.diff(S_own.indptr) == 0) & (np.diff(ST_own.indptr) == 0)
+    cf_own[iso] = FPT
+
+    def fetch_cf():
+        return fetch_values(comm, bounds, r0, {"cf": cf_own},
+                            ghosts)["cf"]
+
+    cf_g = fetch_cf()
+    prev_un = comm.allreduce_sum(int((cf_own == UNASSIGNED).sum()))
+    while prev_un > 0:
+        cf_ext = np.concatenate([cf_own, cf_g])
+        un_ext = cf_ext == UNASSIGNED
+        m = np.full(nloc, -np.inf)
+        for rows_nnz, e, self_m in ((s_rows, s_e, s_self),
+                                    (st_rows, st_e, st_self)):
+            if e.size == 0:
+                continue
+            wj = np.where(un_ext[e] & ~self_m, w_ext[e], -np.inf)
+            np.maximum.at(m, rows_nnz, wj)
+        new_c = (cf_own == UNASSIGNED) & (w_own > m)
+        cf_own[new_c] = CPT
+        cf_g = fetch_cf()                          # exchange 3a
+        cf_ext = np.concatenate([cf_own, cf_g])
+        un_loc = cf_own == UNASSIGNED
+        if s_e.size:
+            hit = np.zeros(nloc, dtype=bool)
+            np.logical_or.at(hit, s_rows, cf_ext[s_e] == CPT)
+            cf_own[un_loc & hit] = FPT
+        cf_g = fetch_cf()                          # exchange 3b
+        now_un = comm.allreduce_sum(int((cf_own == UNASSIGNED).sum()))
+        if now_un == prev_un:
+            break                                  # stall guard (native)
+        prev_un = now_un
+    cf_own[cf_own == UNASSIGNED] = CPT
+    return cf_own
+
+
+def _coarse_numbering(cf_own: np.ndarray, comm: BlockComm):
+    """Exclusive prefix scan of per-rank C counts -> (c0, n_c, gmap_own)
+    where gmap_own[i] is the GLOBAL coarse id of owned C point i (-1 at
+    F points)."""
+    nc_own = int((cf_own == CPT).sum())
+    counts = comm.allgather(nc_own)
+    c0 = int(sum(counts[: comm.rank]))
+    n_c = int(sum(counts))
+    gmap = np.where(cf_own == CPT,
+                    c0 + np.cumsum(cf_own == CPT, dtype=_I64) - 1,
+                    -1)
+    return c0, n_c, gmap
+
+
+# ---------------------------------------------------------------------------
+# Blocked interpolation builders
+# ---------------------------------------------------------------------------
+
+def _extpi_block(A_own, r0, r1, bounds, comm, cf_own, gmap_own, n_c,
+                 params) -> sp.csr_matrix:
+    """ext+i / direct interpolation rows for the owned block: fetch ghost
+    A rows at distance 1 and (cf, gmap) at distance 2, run the SAME
+    native kernel on the ghost-extended local square matrix, keep owned
+    rows with global coarse columns."""
+    nloc = r1 - r0
+    A_cols = np.asarray(A_own.indices, dtype=_I64)
+    g1 = _ghosts_of(A_cols, r0, r1)
+    A_g1 = fetch_rows(comm, bounds, r0, A_own, g1)          # ghost A rows
+    g2 = _ghosts_of(np.asarray(A_g1.indices, dtype=_I64), r0, r1)
+    ghosts = np.union1d(g1, g2)
+    info = fetch_values(comm, bounds, r0,
+                        {"cf": cf_own, "gmap": gmap_own}, ghosts)
+    nodes, own0 = _local_nodes(r0, r1, ghosts)
+    ne = nodes.size
+    # local square CSR: rows for owned + distance-1 ghosts (ext+i never
+    # reads beyond distance-1 rows), columns remapped to local space
+    fill_rows = _local_pos(np.concatenate([np.arange(r0, r1, dtype=_I64),
+                                           g1]), r0, r1, ghosts)
+    blocks = [A_own, A_g1]
+    counts = np.zeros(ne, dtype=_I64)
+    counts[fill_rows] = np.concatenate([np.diff(A_own.indptr),
+                                        np.diff(A_g1.indptr)])
+    indptr = np.zeros(ne + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    lidx = np.empty(nnz, dtype=np.int32)
+    ldat = np.empty(nnz, dtype=np.float64)
+    off = indptr[fill_rows].copy()
+    for B in blocks:
+        ln = np.diff(B.indptr)
+        k = len(ln)
+        dst = off[:k] if B is A_own else off[nloc:]
+        # row-major scatter of each block's rows into the local CSR
+        pos = np.repeat(dst, ln) + (np.arange(B.nnz, dtype=_I64)
+                                    - np.repeat(B.indptr[:-1].astype(_I64),
+                                                ln))
+        lidx[pos] = _local_pos(np.asarray(B.indices, dtype=_I64),
+                               r0, r1, ghosts).astype(np.int32)
+        ldat[pos] = B.data
+    A_loc = sp.csr_matrix((ldat, lidx, indptr), shape=(ne, ne))
+    A_loc.has_sorted_indices = True     # order-preserving remap
+    strong_loc, _ = classical_strength(A_loc, params.theta)
+    cf_loc = np.empty(ne, dtype=np.int8)
+    gmap_loc = np.empty(ne, dtype=_I64)
+    own_sl = slice(own0, own0 + nloc)
+    cf_loc[own_sl] = cf_own
+    gmap_loc[own_sl] = gmap_own
+    gpos = _local_pos(ghosts, r0, r1, ghosts)
+    cf_loc[gpos] = info["cf"]
+    gmap_loc[gpos] = info["gmap"]
+    if params.interpolation == "extpi":
+        P_loc = extpi_interpolation(A_loc, strong_loc, cf_loc)
+    else:
+        P_loc = direct_interpolation(A_loc, strong_loc, cf_loc)
+    P_own = P_loc[own_sl]
+    # local coarse k -> k-th local C node -> global coarse id
+    col_map = gmap_loc[cf_loc == CPT]
+    P_own = sp.csr_matrix(
+        (P_own.data, col_map[P_own.indices].astype(np.int32),
+         P_own.indptr), shape=(nloc, n_c))
+    return truncate_rows(P_own, params.interp_max)
+
+
+def _multipass_block(A_own, strong_own, r0, r1, bounds, comm, cf_own,
+                     gmap_own, n_c, cap, smooth_omega) -> sp.csr_matrix:
+    """Stuben multipass + optional fused Jacobi repair over the owned
+    block, with per-pass halo exchanges of (pass, P rows) — the same
+    native row kernels as the global `multipass_interp`, hence
+    bit-identical rows (exchange 5 in the module docstring)."""
+    lib = get_lib()
+    nloc = r1 - r0
+    A_cols = np.asarray(A_own.indices, dtype=_I64)
+    ghosts = _ghosts_of(A_cols, r0, r1)
+    nodes, own0 = _local_nodes(r0, r1, ghosts)
+    ne = nodes.size
+    own_sl = slice(own0, own0 + nloc)
+    gpos = _local_pos(ghosts, r0, r1, ghosts)
+    info = fetch_values(comm, bounds, r0,
+                        {"cf": cf_own, "gmap": gmap_own}, ghosts)
+    # local square CSR with OWNED rows only (ghost P rows arrive via
+    # exchanges, never computed here)
+    counts = np.zeros(ne, dtype=_I64)
+    counts[own_sl] = np.diff(A_own.indptr)
+    indptr = np.zeros(ne + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    lidx = _local_pos(A_cols, r0, r1, ghosts).astype(np.int32)
+    ldat = np.ascontiguousarray(A_own.data, dtype=np.float64)
+    strong_loc = np.ascontiguousarray(strong_own, dtype=np.uint8)
+    cf_loc = np.zeros(ne, dtype=np.int8)
+    cf_loc[own_sl] = cf_own
+    cf_loc[gpos] = info["cf"]
+    cmap_loc = np.full(ne, -1, dtype=np.int32)
+    cmap_loc[own_sl] = gmap_own.astype(np.int32)
+    cmap_loc[gpos] = info["gmap"].astype(np.int32)
+
+    pass_loc = np.where(cf_loc == CPT, 0, -1).astype(np.int32)
+    P_cols = np.zeros((ne, cap), dtype=np.int32)
+    P_vals = np.zeros((ne, cap), dtype=np.float64)
+    P_len = np.zeros(ne, dtype=np.int32)
+    isC = cf_loc == CPT
+    P_cols[isC, 0] = cmap_loc[isC]
+    P_vals[isC, 0] = 1.0
+    P_len[isC] = 1
+
+    frontier = (own0 + np.flatnonzero(cf_own != CPT)).astype(np.int32)
+    pass_own_view = pass_loc[own_sl]
+
+    def fetch_p_rows():
+        """Refresh ghost (pass, P rows) after a pass (exchange 5)."""
+        reqs = _split_by_owner(ghosts, bounds, comm.size)
+        got = comm.alltoall(reqs)
+        replies = []
+        for g in got:
+            loc = own0 + (np.asarray(g, dtype=_I64) - r0)
+            replies.append((pass_loc[loc], P_len[loc],
+                            P_cols[loc], P_vals[loc]))
+        resp = comm.alltoall(replies)
+        if ghosts.size:
+            pass_loc[gpos] = np.concatenate([x[0] for x in resp])
+            P_len[gpos] = np.concatenate([x[1] for x in resp])
+            P_cols[gpos] = np.concatenate([x[2] for x in resp])
+            P_vals[gpos] = np.concatenate([x[3] for x in resp])
+
+    p = 1
+    indptr_c = np.ascontiguousarray(indptr)
+    while True:
+        if frontier.size and lib is not None:
+            ready = np.empty(frontier.size, dtype=np.uint8)
+            lib.multipass_ready(frontier.size, frontier, indptr_c, lidx,
+                                strong_loc, p, pass_loc, ready)
+            ready = ready.view(bool)
+        elif frontier.size:
+            ready = np.array([
+                any(strong_loc[k] and lidx[k] != i
+                    and 0 <= pass_loc[lidx[k]] < p
+                    for k in range(indptr_c[i], indptr_c[i + 1]))
+                for i in frontier], dtype=bool)
+        else:
+            ready = np.empty(0, dtype=bool)
+        cur = frontier[ready]
+        if comm.allreduce_sum(int(cur.size)) == 0:
+            break                          # global isolated remainder
+        if cur.size:
+            if lib is not None:
+                lib.multipass_step(p, indptr_c, lidx, ldat, strong_loc,
+                                   cf_loc, cmap_loc, cap, pass_loc,
+                                   np.ascontiguousarray(cur), cur.size,
+                                   P_cols.reshape(-1), P_vals.reshape(-1),
+                                   P_len)
+            else:
+                _multipass_step_py(p, indptr_c, lidx, ldat, strong_loc,
+                                   cf_loc, cmap_loc, cap, pass_loc, cur,
+                                   P_cols, P_vals, P_len)
+            pass_loc[cur] = p              # commit AFTER the rows
+        frontier = frontier[~ready]
+        fetch_p_rows()
+        p += 1
+
+    if smooth_omega:
+        # ghost P rows are current (last fetch); fused Jacobi repair on
+        # the same local layout
+        if lib is not None:
+            Q_cols = np.zeros_like(P_cols)
+            Q_vals = np.zeros_like(P_vals)
+            Q_len = np.zeros_like(P_len)
+            lib.interp_jacobi_smooth(ne, indptr_c, lidx, ldat, strong_loc,
+                                     float(smooth_omega), n_c, cap,
+                                     P_cols.reshape(-1),
+                                     P_vals.reshape(-1), P_len,
+                                     Q_cols.reshape(-1),
+                                     Q_vals.reshape(-1), Q_len)
+            P_cols, P_vals, P_len = Q_cols, Q_vals, Q_len
+        else:
+            P_cols, P_vals, P_len = _jacobi_smooth_py(
+                ne, indptr_c, lidx, ldat, strong_loc, float(smooth_omega),
+                cap, P_cols, P_vals, P_len)
+
+    # owned slots -> CSR with global coarse columns
+    lens = P_len[own_sl].astype(_I64)
+    P_indptr = np.zeros(nloc + 1, dtype=_I64)
+    np.cumsum(lens, out=P_indptr[1:])
+    nnz = int(P_indptr[-1])
+    rowpos = np.repeat(np.arange(nloc, dtype=_I64), lens)
+    slot = np.arange(nnz, dtype=_I64) - np.repeat(P_indptr[:-1], lens)
+    P_indices = P_cols[own_sl][rowpos, slot].astype(np.int32)
+    P_data = P_vals[own_sl][rowpos, slot]
+    P = sp.csr_matrix((P_data, P_indices, P_indptr), shape=(nloc, n_c))
+    P.sort_indices()                       # rows come out discovery-order
+    return P
+
+
+def _multipass_step_py(p, indptr, indices, data, strong, cf, cmap, cap,
+                       pass_loc, cur, P_cols, P_vals, P_len):
+    """Pure-python fallback mirroring the native multipass_step (no
+    toolchain environments only; oracle-tested against it)."""
+    for i in cur:
+        i = int(i)
+        sl = slice(indptr[i], indptr[i + 1])
+        js, vs, st = indices[sl], data[sl], strong[sl]
+        if p == 1:
+            diag = sneg_all = spos_all = sneg_C = spos_C = 0.0
+            for j, v, s in zip(js, vs, st):
+                if j == i:
+                    diag += v
+                    continue
+                if v < 0:
+                    sneg_all += v
+                else:
+                    spos_all += v
+                if s and cf[j] == CPT:
+                    if v < 0:
+                        sneg_C += v
+                    else:
+                        spos_C += v
+            alpha = sneg_all / sneg_C if sneg_C else 0.0
+            if spos_C:
+                beta = spos_all / spos_C
+            else:
+                beta = 0.0
+                diag += spos_all
+            cols, vals = [], []
+            if diag:
+                for j, v, s in zip(js, vs, st):
+                    if j == i or not s or cf[j] != CPT:
+                        continue
+                    w = (-alpha if v < 0 else -beta) * v / diag
+                    if w:
+                        cols.append(int(cmap[j]))
+                        vals.append(w)
+        else:
+            denom = 0.0
+            acc: dict = {}
+            for j, v, s in zip(js, vs, st):
+                if j == i:
+                    denom += v
+                    continue
+                if s and 0 <= pass_loc[j] < p and P_len[j] > 0:
+                    for t in range(P_len[j]):
+                        c = int(P_cols[j, t])
+                        acc[c] = acc.get(c, 0.0) + v * P_vals[j, t]
+                else:
+                    denom += v
+            cols, vals = [], []
+            if denom:
+                for c, w in acc.items():
+                    if w:
+                        cols.append(c)
+                        vals.append(-w / denom)
+        _truncate_slots_py(cols, vals, cap, P_cols, P_vals, P_len, i)
+
+
+def _truncate_slots_py(cols, vals, cap, P_cols, P_vals, P_len, i):
+    if len(cols) > cap:
+        order = sorted(range(len(cols)),
+                       key=lambda s: (-abs(vals[s]), s))[:cap]
+        pos_all = sum(v for v in vals if v > 0)
+        neg_all = sum(v for v in vals if v < 0)
+        pos_k = sum(vals[s] for s in order if vals[s] > 0)
+        neg_k = sum(vals[s] for s in order if vals[s] < 0)
+        s_pos = pos_all / pos_k if pos_k else 1.0
+        s_neg = neg_all / neg_k if neg_k else 1.0
+        order.sort()
+        cols = [cols[s] for s in order]
+        vals = [vals[s] * (s_pos if vals[s] > 0 else s_neg)
+                for s in order]
+    P_len[i] = len(cols)
+    for s, (c, v) in enumerate(zip(cols, vals)):
+        P_cols[i, s] = c
+        P_vals[i, s] = v
+
+
+def _jacobi_smooth_py(ne, indptr, indices, data, strong, omega, cap,
+                      P_cols, P_vals, P_len):
+    Q_cols = np.zeros_like(P_cols)
+    Q_vals = np.zeros_like(P_vals)
+    Q_len = np.zeros_like(P_len)
+    for i in range(ne):
+        acc: dict = {}
+        D = 0.0
+        for k in range(indptr[i], indptr[i + 1]):
+            j, v = int(indices[k]), data[k]
+            if j == i:
+                D += v
+                continue
+            if strong[k]:
+                for t in range(P_len[j]):
+                    c = int(P_cols[j, t])
+                    acc[c] = acc.get(c, 0.0) + v * P_vals[j, t]
+            else:
+                D += v
+        s0 = -omega / D if D != 0.0 else 0.0
+        for c in acc:
+            acc[c] *= s0
+        for t in range(P_len[i]):
+            c = int(P_cols[i, t])
+            w = (1.0 - omega) * P_vals[i, t]
+            if w:
+                acc[c] = acc.get(c, 0.0) + w
+        cols = [c for c, w in acc.items() if w != 0.0]
+        vals = [acc[c] for c in cols]
+        _truncate_slots_py(cols, vals, cap, Q_cols, Q_vals, Q_len, i)
+    return Q_cols, Q_vals, Q_len
+
+
+# ---------------------------------------------------------------------------
+# Aggressive (pmis2) blocked step: dist-2 C-C graph + second PMIS
+# ---------------------------------------------------------------------------
+
+def _dist2_block(S_own, r0, r1, bounds, comm, cf_own, gmap_own, n_c):
+    """Owned rows of the distance-2 C-C strength graph (global C-index
+    columns): fetch ghost S rows at distance 1 + (cf, gmap) at distance
+    2, run the native dist2 kernel on the local extension, keep owned C
+    rows."""
+    nloc = r1 - r0
+    S_cols = np.asarray(S_own.indices, dtype=_I64)
+    g1 = _ghosts_of(S_cols, r0, r1)
+    S_g1 = fetch_rows(comm, bounds, r0, S_own, g1, with_data=False)
+    g2 = _ghosts_of(np.asarray(S_g1.indices, dtype=_I64), r0, r1)
+    ghosts = np.union1d(g1, g2)
+    info = fetch_values(comm, bounds, r0,
+                        {"cf": cf_own, "gmap": gmap_own}, ghosts)
+    nodes, own0 = _local_nodes(r0, r1, ghosts)
+    ne = nodes.size
+    own_sl = slice(own0, own0 + nloc)
+    gpos = _local_pos(ghosts, r0, r1, ghosts)
+    fill_rows = np.concatenate([
+        np.arange(own0, own0 + nloc, dtype=_I64),
+        _local_pos(g1, r0, r1, ghosts)])
+    counts = np.zeros(ne, dtype=_I64)
+    counts[fill_rows] = np.concatenate([np.diff(S_own.indptr),
+                                        np.diff(S_g1.indptr)])
+    indptr = np.zeros(ne + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    lidx = np.empty(nnz, dtype=np.int32)
+    for B, rows_dst in ((S_own, fill_rows[:nloc]), (S_g1, fill_rows[nloc:])):
+        if B.nnz == 0:
+            continue
+        ln = np.diff(B.indptr)
+        pos = np.repeat(indptr[rows_dst], ln) + (
+            np.arange(B.nnz, dtype=_I64)
+            - np.repeat(B.indptr[:-1].astype(_I64), ln))
+        lidx[pos] = _local_pos(np.asarray(B.indices, dtype=_I64),
+                               r0, r1, ghosts).astype(np.int32)
+    cf_loc = np.full(ne, FPT, dtype=np.int8)
+    cf_loc[own_sl] = cf_own
+    cf_loc[gpos] = info["cf"]
+    cmap_loc = np.full(ne, -1, dtype=np.int32)
+    cmap_loc[own_sl] = gmap_own.astype(np.int32)
+    cmap_loc[gpos] = info["gmap"].astype(np.int32)
+    n_c_loc = int((cf_loc == CPT).sum())
+    # the native kernel indexes rows AND labels columns with cmap — feed
+    # it the LOCAL C numbering (its count arrays are n_c_loc-sized), then
+    # remap the output columns to global coarse ids
+    cmap_l2l = (np.cumsum(cf_loc == CPT, dtype=_I64) - 1).astype(np.int32)
+    c_global = cmap_loc[cf_loc == CPT]          # local C order -> global id
+    lib = get_lib()
+    if lib is not None:
+        cf8 = np.ascontiguousarray(cf_loc)
+        S2p = np.empty(n_c_loc + 1, dtype=_I64)
+        nnz2 = int(lib.dist2_cc_symbolic(ne, indptr, lidx, cf8, cmap_l2l,
+                                         n_c_loc, S2p))
+        S2i = np.empty(nnz2, dtype=np.int32)
+        lib.dist2_cc_fill(ne, indptr, lidx, cf8, cmap_l2l, S2p, S2i)
+    else:
+        S2p, S2i = _dist2_py(ne, indptr, lidx, cf_loc, cmap_l2l, n_c_loc)
+    S2i = c_global[S2i].astype(np.int32)
+    # owned C rows are contiguous in the local C ordering
+    cpos = np.cumsum(cf_loc == CPT, dtype=_I64)
+    lo_c = int(cpos[own0 - 1]) if own0 > 0 else 0
+    hi_c = int(cpos[own0 + nloc - 1]) if nloc else lo_c
+    sub_p = (S2p[lo_c:hi_c + 1] - S2p[lo_c]).astype(_I64)
+    sub_i = np.ascontiguousarray(S2i[S2p[lo_c]:S2p[hi_c]])
+    return _pattern_csr(sub_p, sub_i, (hi_c - lo_c, n_c))
+
+
+def _dist2_py(ne, indptr, lidx, cf_loc, cmap_loc, n_c_loc):
+    rows = []
+    for i in range(ne):
+        if cf_loc[i] != CPT:
+            continue
+        out = set()
+        for k in range(indptr[i], indptr[i + 1]):
+            j = int(lidx[k])
+            if j == i:
+                continue
+            if cf_loc[j] == CPT:
+                out.add(int(cmap_loc[j]))
+            else:
+                for k2 in range(indptr[j], indptr[j + 1]):
+                    j2 = int(lidx[k2])
+                    if j2 != i and cf_loc[j2] == CPT:
+                        out.add(int(cmap_loc[j2]))
+        out.discard(int(cmap_loc[i]))
+        rows.append(sorted(out))
+    indptr2 = np.zeros(len(rows) + 1, dtype=_I64)
+    np.cumsum([len(r) for r in rows], out=indptr2[1:])
+    idx = (np.concatenate([np.asarray(r, np.int32) for r in rows])
+           if indptr2[-1] else np.empty(0, np.int32))
+    return indptr2, idx
+
+
+# ---------------------------------------------------------------------------
+# Transpose and Galerkin product exchanges
+# ---------------------------------------------------------------------------
+
+def blocked_transpose(P_own: sp.csr_matrix, r0: int, n_fine: int,
+                      bounds_c: np.ndarray, comm: BlockComm
+                      ) -> sp.csr_matrix:
+    """R = P^T rows for the coarse points this rank owns under
+    ``bounds_c`` (exchange 6): every rank routes its P entries to the
+    coarse-row owner; rows assemble in ascending fine order (sources are
+    rank-ordered, entries CSR-ordered within each source), matching the
+    global `csr_transpose` layout."""
+    nloc, n_c = P_own.shape
+    cols = np.asarray(P_own.indices, dtype=_I64)
+    rows_g = r0 + np.repeat(np.arange(nloc, dtype=_I64),
+                            np.diff(P_own.indptr))
+    dest = owner_of(cols, bounds_c)
+    order = np.argsort(dest, kind="stable")
+    cuts = np.searchsorted(dest[order], np.arange(comm.size + 1))
+    send = [(cols[order[cuts[d]:cuts[d + 1]]],
+             rows_g[order[cuts[d]:cuts[d + 1]]],
+             P_own.data[order[cuts[d]:cuts[d + 1]]])
+            for d in range(comm.size)]
+    got = comm.alltoall(send)
+    c0, c1 = int(bounds_c[comm.rank]), int(bounds_c[comm.rank + 1])
+    nc_loc = c1 - c0
+    rc = (np.concatenate([g[0] for g in got]) if got else
+          np.empty(0, _I64)) - c0
+    ri = np.concatenate([g[1] for g in got]) if got else np.empty(0, _I64)
+    rv = np.concatenate([g[2] for g in got]) if got else np.empty(0)
+    ordr = np.argsort(rc, kind="stable")
+    counts = (np.bincount(rc, minlength=nc_loc) if rc.size else
+              np.zeros(nc_loc, dtype=_I64))
+    indptr = np.zeros(nc_loc + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    return sp.csr_matrix((rv[ordr], ri[ordr].astype(np.int32), indptr),
+                         shape=(nc_loc, n_fine))
+
+
+def blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
+                drop_tol: float) -> sp.csr_matrix:
+    """Owned coarse rows of R A P (exchange 7): local W = A_loc P_ext,
+    per-rank contributions P_own^T W routed to coarse-row owners and
+    summed in rank order, then the ML-style drop/lump filter with the
+    diagonal-collapse guard, row-local with fetched column diagonals."""
+    nloc = r1 - r0
+    n_c = P_own.shape[1]
+    A_cols = np.asarray(A_own.indices, dtype=_I64)
+    g1 = _ghosts_of(A_cols, r0, r1)
+    P_g1 = fetch_rows(comm, bounds, r0, P_own, g1)
+    nodes, own0 = _local_nodes(r0, r1, g1)
+    ne = nodes.size
+    # P over the local node space
+    counts = np.zeros(ne, dtype=_I64)
+    counts[own0:own0 + nloc] = np.diff(P_own.indptr)
+    counts[_local_pos(g1, r0, r1, g1)] = np.diff(P_g1.indptr)
+    indptr = np.zeros(ne + 1, dtype=_I64)
+    np.cumsum(counts, out=indptr[1:])
+    pi = np.empty(int(indptr[-1]), dtype=np.int32)
+    pv = np.empty(int(indptr[-1]), dtype=np.float64)
+    for B, dst in ((P_own, np.arange(own0, own0 + nloc, dtype=_I64)),
+                   (P_g1, _local_pos(g1, r0, r1, g1))):
+        if B.shape[0] == 0:
+            continue
+        ln = np.diff(B.indptr)
+        pos = np.repeat(indptr[dst], ln) + (
+            np.arange(B.nnz, dtype=_I64)
+            - np.repeat(B.indptr[:-1].astype(_I64), ln))
+        pi[pos] = B.indices
+        pv[pos] = B.data
+    P_ext = sp.csr_matrix((pv, pi, indptr), shape=(ne, n_c))
+    P_ext.has_sorted_indices = True
+    # A_loc: owned rows, columns remapped to the local node space
+    lidx = _local_pos(A_cols, r0, r1, g1).astype(np.int32)
+    A_loc = sp.csr_matrix(
+        (np.ascontiguousarray(A_own.data, np.float64), lidx,
+         np.ascontiguousarray(A_own.indptr, _I64)), shape=(nloc, ne))
+    A_loc.has_sorted_indices = True
+    W = spgemm(A_loc, P_ext)                       # (nloc, n_c)
+    PT = P_own.T.tocsr()                           # (n_c, nloc) — local nnz
+    C_part = spgemm(PT, W)                         # contributions
+    # route contribution rows to coarse owners; nonzero rows only
+    nz_rows = np.flatnonzero(np.diff(C_part.indptr))
+    dest = owner_of(nz_rows, bounds_c)
+    cuts = np.searchsorted(dest, np.arange(comm.size + 1))
+    send = []
+    for d in range(comm.size):
+        rws = nz_rows[cuts[d]:cuts[d + 1]]
+        send.append((rws, *_take_rows(C_part, rws, True)))
+    got = comm.alltoall(send)
+    c0, c1 = int(bounds_c[comm.rank]), int(bounds_c[comm.rank + 1])
+    nc_loc = c1 - c0
+    acc = None
+    for rws, ip, ix, dt in got:                    # rank order: determinate
+        if len(rws) == 0:
+            continue
+        full_ip = np.zeros(nc_loc + 1, dtype=_I64)
+        cnt = np.zeros(nc_loc, dtype=_I64)
+        cnt[np.asarray(rws, _I64) - c0] = np.diff(ip)
+        np.cumsum(cnt, out=full_ip[1:])
+        B = sp.csr_matrix((dt, ix, full_ip), shape=(nc_loc, n_c))
+        B.has_sorted_indices = True
+        if acc is None:
+            acc = B
+        else:
+            from .galerkin import csr_add
+            acc = csr_add(1.0, acc, 1.0, B)
+    if acc is None:
+        acc = sp.csr_matrix((nc_loc, n_c))
+    acc.sum_duplicates()
+    acc.eliminate_zeros()
+    if drop_tol > 0.0 and acc.nnz:
+        acc = _filter_block(acc, c0, bounds_c, comm, drop_tol)
+    return acc
+
+
+def _filter_block(Ac, c0, bounds_c, comm, drop_tol):
+    """Row-local ML filter + diagonal-collapse guard on an owned coarse
+    block (mirrors galerkin_product's filter; column diagonals fetched
+    from their owners)."""
+    nc_loc = Ac.shape[0]
+    rows = np.repeat(np.arange(nc_loc, dtype=_I64), np.diff(Ac.indptr))
+    cols = np.asarray(Ac.indices, dtype=_I64)
+    dmask = cols == (rows + c0)
+    diag_own = np.zeros(nc_loc)
+    diag_own[rows[dmask]] = Ac.data[dmask]
+    ghosts = _ghosts_of(cols, c0, c0 + nc_loc)
+    dg = fetch_values(comm, bounds_c, c0, {"d": diag_own}, ghosts)["d"]
+    diag_col = np.empty(cols.shape)
+    own = ~((cols < c0) | (cols >= c0 + nc_loc))
+    diag_col[own] = np.abs(diag_own[cols[own] - c0])
+    diag_col[~own] = np.abs(dg[np.searchsorted(ghosts, cols[~own])])
+    cut = drop_tol * np.sqrt(np.abs(diag_own[rows]) * diag_col)
+    keep = dmask | (np.abs(Ac.data) >= cut)
+    lump = np.zeros(nc_loc)
+    np.add.at(lump, rows[~keep], Ac.data[~keep])
+    nd = diag_own + lump
+    bad = np.where(diag_own > 0, nd < 0.1 * diag_own,
+                   np.where(diag_own < 0, nd > 0.1 * diag_own, True))
+    keep = keep | bad[rows]
+    lump = np.where(bad, 0.0, lump)
+    data = np.where(keep, Ac.data, 0.0)
+    data = np.where(dmask, data + lump[rows], data)
+    out = sp.csr_matrix((data, Ac.indices.copy(), Ac.indptr.copy()),
+                        shape=Ac.shape)
+    out.eliminate_zeros()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Level step + full blocked hierarchy driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BlockedLevel:
+    """One rank's slice of one distributed level (global column ids)."""
+    A: sp.csr_matrix              # (nloc, n) owned rows
+    r0: int
+    r1: int
+    n: int                        # global level size
+    bounds: np.ndarray            # (size+1,) global bounds of this level
+    P: sp.csr_matrix | None = None   # (nloc, n_c) owned fine rows
+    R: sp.csr_matrix | None = None   # (nc_loc, n) owned coarse rows
+    cf: np.ndarray | None = None
+
+
+@dataclasses.dataclass
+class BlockedHierarchy:
+    """Per-rank distributed levels + the gathered (tiny) coarse tail."""
+    levels: list                  # list[BlockedLevel]
+    tail: object                  # setup.hierarchy.Hierarchy (global, small)
+    params: AMGParams
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels) + self.tail.n_levels
+
+
+def blocked_coarsen_step(A_own: sp.csr_matrix, r0: int, r1: int,
+                         bounds: np.ndarray, comm: BlockComm,
+                         params: AMGParams, aggressive: bool):
+    """One blocked setup step: returns (P_own, cf_own, n_c, gmap_own) or
+    None on a (globally agreed) stall."""
+    assert params.coarsening in ("pmis", "hmis", "rs") or not aggressive
+    n = int(bounds[-1])
+    strong_own, S_own = classical_strength(A_own, params.theta,
+                                           row_offset=r0)
+    cf_own = blocked_pmis_comm(S_own, r0, r1, bounds, comm, seed=0)
+    c0, n_c1, gmap_own = _coarse_numbering(cf_own, comm)
+    if n_c1 == 0 or n_c1 >= n:
+        return None
+    if aggressive:
+        assert params.aggressive == "pmis2", \
+            "blocked aggressive setup implements the pmis2 scheme " \
+            "(the composed scheme needs the intermediate RAP the pmis2 " \
+            "path exists to avoid)"
+        S2_own = _dist2_block(S_own, r0, r1, bounds, comm, cf_own,
+                              gmap_own, n_c1)
+        nc_own = S2_own.shape[0]
+        counts = comm.allgather(nc_own)
+        bounds_c1 = np.concatenate([[0], np.cumsum(counts)]).astype(_I64)
+        cf2 = blocked_pmis_comm(S2_own, c0, c0 + nc_own, bounds_c1, comm,
+                                seed=1)
+        own_c = np.flatnonzero(cf_own == CPT)
+        cf_own = cf_own.copy()
+        cf_own[own_c[cf2 == FPT]] = FPT
+        c0, n_c, gmap_own = _coarse_numbering(cf_own, comm)
+        if n_c == 0 or n_c >= n:
+            return None
+        cap = params.interp_max_composed or params.interp_max or 5
+        omega = params.jacobi_omega_smooth_P if params.multipass_smooth \
+            else None
+        P_own = _multipass_block(A_own, strong_own, r0, r1, bounds, comm,
+                                 cf_own, gmap_own, n_c, cap, omega)
+        return P_own, cf_own, n_c, gmap_own
+    P_own = _extpi_block(A_own, r0, r1, bounds, comm, cf_own, gmap_own,
+                         n_c1, params)
+    return P_own, cf_own, n_c1, gmap_own
+
+
+def blocked_amg_setup(A_own: sp.csr_matrix, bounds: np.ndarray,
+                      comm: BlockComm, params: AMGParams,
+                      blocked_threshold: int | None = None,
+                      bounds_fn=None) -> BlockedHierarchy:
+    """Full per-rank AMG setup: blocked levels down to
+    ``blocked_threshold`` (default: params.replicate_size — every level
+    the distributed solver keeps row-sharded), then the small coarse
+    remainder is allgathered and finished with the global `amg_setup`
+    on every rank (identical, tiny — the reference's 'gather small
+    coarse grids' strategy applied to setup).
+
+    ``bounds_fn(n) -> bounds`` chooses each coarse level's ownership
+    (default: balanced blocks; the device path passes partition_bounds
+    so blocks align with device shards)."""
+    assert params.coarsening == "pmis", \
+        "blocked setup: PMIS coarsening (the flagship distributed scheme)"
+    if blocked_threshold is None:
+        blocked_threshold = max(params.replicate_size, params.coarse_size)
+    if bounds_fn is None:
+        bounds_fn = lambda n: block_bounds(n, comm.size)
+    r0, r1 = int(bounds[comm.rank]), int(bounds[comm.rank + 1])
+    levels = []
+    A_own = A_own.tocsr()
+    if A_own.dtype != np.float64:
+        A_own = A_own.astype(np.float64)
+    A_own.sum_duplicates()
+    lvl = 0
+    while int(bounds[-1]) > blocked_threshold \
+            and len(levels) < params.max_levels - 1:
+        n = int(bounds[-1])
+        aggressive = (lvl < params.agg_levels
+                      and params.coarsening in ("rs", "pmis", "hmis")
+                      and params.aggressive == "pmis2")
+        out = blocked_coarsen_step(A_own, r0, r1, bounds, comm, params,
+                                   aggressive)
+        if out is None:
+            break
+        P_own, cf_own, n_c, gmap_own = out
+        if n_c >= 0.95 * n and levels:
+            break                                   # stagnation guard
+        bounds_c = np.asarray(bounds_fn(n_c), dtype=_I64)
+        R_own = blocked_transpose(P_own, r0, n, bounds_c, comm)
+        Ac_own = blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
+                             params.rap_drop_tol)
+        levels.append(BlockedLevel(A=A_own, r0=r0, r1=r1, n=n,
+                                   bounds=bounds, P=P_own, R=R_own,
+                                   cf=cf_own))
+        A_own = Ac_own
+        bounds = bounds_c
+        r0, r1 = int(bounds[comm.rank]), int(bounds[comm.rank + 1])
+        lvl += 1
+
+    # gather the small remainder and finish globally (identical per rank)
+    from .hierarchy import amg_setup
+    blocks = comm.allgather((A_own.indptr, A_own.indices, A_own.data,
+                             A_own.shape))
+    n_tail = int(bounds[-1])
+    indptr = np.zeros(n_tail + 1, dtype=_I64)
+    off = 0
+    idx_parts, dat_parts = [], []
+    for b, (ip, ix, dt, shp) in enumerate(blocks):
+        rows = shp[0]
+        indptr[off + 1: off + rows + 1] = indptr[off] + ip[1:]
+        idx_parts.append(ix)
+        dat_parts.append(dt)
+        off += rows
+    A_tail = sp.csr_matrix(
+        (np.concatenate(dat_parts) if dat_parts else np.empty(0),
+         np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int32),
+         indptr), shape=(n_tail, n_tail))
+    tail_params = params.replace(
+        agg_levels=max(0, params.agg_levels - len(levels)))
+    tail = amg_setup(A_tail, tail_params)
+    return BlockedHierarchy(levels=levels, tail=tail, params=params)
+
+
+# ---------------------------------------------------------------------------
+# Stitching (tests / single-host consumers) + compatibility wrappers
+# ---------------------------------------------------------------------------
+
+def _vstack_blocks(blocks: list) -> sp.csr_matrix:
+    parts = [(b.indptr, b.indices, b.data, b.shape) for b in blocks]
+    rows = sum(p[3][0] for p in parts)
+    indptr = np.zeros(rows + 1, dtype=_I64)
+    off = 0
+    for ip, _, _, shp in parts:
+        indptr[off + 1: off + shp[0] + 1] = indptr[off] + ip[1:]
+        off += shp[0]
+    return sp.csr_matrix(
+        (np.concatenate([p[2] for p in parts]),
+         np.concatenate([p[1] for p in parts]),
+         indptr), shape=(rows, parts[0][3][1]))
+
+
+def stitch_blocked(parts: list) -> "Hierarchy":
+    """Assemble per-rank BlockedHierarchy objects into one global
+    Hierarchy (tests; also the escape hatch for single-host consumers)."""
+    from .hierarchy import Hierarchy, Level
+    levels = []
+    n_blk = len(parts[0].levels)
+    for li in range(n_blk):
+        blks = [p.levels[li] for p in parts]
+        A = _vstack_blocks([b.A for b in blks])
+        P = _vstack_blocks([b.P for b in blks])
+        R = _vstack_blocks([b.R for b in blks])
+        cf = np.concatenate([b.cf for b in blks])
+        levels.append(Level(A=A, P=P, R=R, cf=cf))
+    tail = parts[0].tail
+    for i, lev in enumerate(tail.levels):
+        levels.append(lev)
+    return Hierarchy(levels=levels, params=parts[0].params)
 
 
 def blocked_coarsen_once(A: sp.csr_matrix, params: AMGParams,
                          n_blocks: int):
-    """One block-parallel setup step for the finest level: per-host
-    strength + distributed PMIS + per-host ext+i, stitched.  Mirrors
-    hierarchy._coarsen_once for coarsening in {pmis} / interpolation in
-    {extpi, direct}; returns (P, cf)."""
-    assert params.coarsening == "pmis", "blocked setup: PMIS only"
+    """One block-parallel setup step simulated on threads (tests): slice
+    A into balanced row blocks, run the SPMD step, stitch (P, cf)."""
+    from .comm import run_blocked
     A = A.tocsr()
     n = A.shape[0]
     bounds = block_bounds(n, n_blocks)
-    # per-host strength on OWNED rows only (strength is row-local).  The
-    # block is assembled as a full-shape CSR whose rows outside [r0, r1)
-    # are empty: the strength kernel detects the diagonal as col == row,
-    # so global row/column ids must stay aligned; nnz is still block-only.
-    S_blocks = []
-    for b in range(n_blocks):
-        r0, r1 = int(bounds[b]), int(bounds[b + 1])
-        indptr = np.empty(n + 1, dtype=A.indptr.dtype)
-        indptr[:r0] = A.indptr[r0]
-        indptr[r0:r1 + 1] = A.indptr[r0:r1 + 1]
-        indptr[r1 + 1:] = A.indptr[r1]
-        Ab = sp.csr_matrix(
-            (A.data[A.indptr[r0]:A.indptr[r1]],
-             A.indices[A.indptr[r0]:A.indptr[r1]],
-             indptr - A.indptr[r0]),
-            shape=(n, n))
-        _, Sb = classical_strength(Ab, params.theta)
-        S_blocks.append(Sb[r0:r1])
-    cf = blocked_pmis(S_blocks, bounds, n)
-    P = blocked_interpolation(A, cf, bounds, params)
-    return truncate_rows(P, params.interp_max), cf
+
+    def fn(rank, comm):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        return blocked_coarsen_step(A[r0:r1], r0, r1, bounds, comm,
+                                    params, aggressive=False)
+
+    outs = run_blocked(fn, n_blocks)
+    P = _vstack_blocks([o[0] for o in outs])
+    cf = np.concatenate([o[1] for o in outs])
+    return P, cf

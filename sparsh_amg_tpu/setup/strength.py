@@ -41,23 +41,30 @@ def _strength_csr(lib, A: sp.csr_matrix, indptr, indices,
     return S
 
 
-def classical_strength(A: sp.csr_matrix, theta: float = 0.25):
-    """Return (strong_mask over A.data, S) where S is the 0/1 strength CSR."""
+def classical_strength(A: sp.csr_matrix, theta: float = 0.25,
+                       row_offset: int = 0):
+    """Return (strong_mask over A.data, S) where S is the 0/1 strength CSR.
+
+    ``row_offset``: global index of row 0 — set for a row-block CSR with
+    GLOBAL column ids (blocked per-host setup), so the diagonal of local
+    row i is detected at column row_offset + i."""
     n = A.shape[0]
     lib = get_lib()
     if lib is not None:
         indptr, indices, data = csr_arrays(A)
         strong = empty_prefaulted(len(indices), np.uint8)
-        lib.soc_classical(n, indptr, indices, data, float(theta), strong)
+        lib.soc_classical_rows(n, int(row_offset), indptr, indices, data,
+                               float(theta), strong)
         return strong.view(bool), _strength_csr(lib, A, indptr, indices,
                                                 strong)
     else:
-        rows = _rows_of_nnz(A)
+        rows = _rows_of_nnz(A) + row_offset
         offdiag = A.indices != rows
         neg = np.where(offdiag, -A.data, -np.inf)
         maxoff = np.full(n, -np.inf)
-        np.maximum.at(maxoff, rows, neg)
+        np.maximum.at(maxoff, rows - row_offset, neg)
         cut = theta * maxoff
+        rows = rows - row_offset
         mask = offdiag & (-A.data > 0) & (maxoff[rows] > 0) & (-A.data >= cut[rows])
     S = sp.csr_matrix(
         (np.ones(int(mask.sum()), dtype=np.float32),

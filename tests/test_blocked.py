@@ -1,11 +1,14 @@
-"""Per-host row-block setup (setup/blocked.py; VERDICT r2 next #7).
+"""Per-host row-block setup (setup/blocked.py; VERDICT r3 next #1/#2/#7).
 
 The blocked path must reproduce the GLOBAL setup exactly: PMIS weights
-are pure functions of global index + exchanged ST-degrees, and ext+i
-rows read only distance-<=2 data, so per-block computation with boundary
-exchanges is bit-identical to the one-host computation — asserted here
-on 64^3 Poisson with 8 simulated hosts, plus a convergence run whose
-finest level comes from the blocked setup.
+are pure functions of global index + exchanged ST-degrees, and every
+interpolation row is computed by the same native kernel on the same
+(ghost-extended, order-preserving) inputs, so per-block computation with
+boundary exchanges is bit-identical to the one-host computation.
+Asserted here for the plain extpi step, the AGGRESSIVE flagship step
+(pmis2 second round + multipass + Jacobi repair), and the FULL blocked
+hierarchy (recursion + gathered coarse tail), plus convergence and
+distributed-solver handoff runs.
 """
 import numpy as np
 import pytest
@@ -16,13 +19,23 @@ from sparsh_amg_tpu.params import AMGParams, KrylovParams
 from sparsh_amg_tpu.setup.strength import classical_strength
 from sparsh_amg_tpu.setup.splitting import pmis_splitting
 from sparsh_amg_tpu.setup.interp import extpi_interpolation, truncate_rows
-from sparsh_amg_tpu.setup.blocked import (block_bounds, blocked_pmis,
-                                          blocked_coarsen_once)
+from sparsh_amg_tpu.setup.blocked import (block_bounds, blocked_pmis_comm,
+                                          blocked_coarsen_once,
+                                          blocked_coarsen_step,
+                                          blocked_amg_setup, stitch_blocked,
+                                          _vstack_blocks)
+from sparsh_amg_tpu.setup.comm import run_blocked
 from sparsh_amg_tpu.setup.hierarchy import amg_setup, Hierarchy, Level
 from sparsh_amg_tpu.setup.galerkin import galerkin_product
 from sparsh_amg_tpu.setup.transpose import csr_transpose
 
 PARAMS = AMGParams(coarsening="pmis", interpolation="extpi", interp_max=4)
+# the flagship production config (bench.py): aggressive pmis2 first level,
+# multipass + fused Jacobi repair, ML-filtered RAP
+FLAGSHIP = AMGParams(coarsening="pmis", interpolation="extpi",
+                     interp_max=4, rap_drop_tol=0.01, agg_levels=1,
+                     interp_max_composed=5, intermediate_drop_tol=0.02,
+                     aggressive="pmis2")
 
 
 def _global_once(A, params):
@@ -48,16 +61,24 @@ def test_blocked_matches_global_poisson3d(nside, n_blocks):
 
 
 def test_blocked_pmis_alone_matches_native():
-    """The distributed PMIS driver (per-round boundary exchange) equals
-    the native single-host pmis_cf on an anisotropic 2-D problem."""
+    """The distributed PMIS driver (per-round boundary exchange through
+    the comm) equals the native single-host pmis on an anisotropic 2-D
+    problem."""
     from sparsh_amg_tpu.models.anisotropic import anisotropic2d
     A = anisotropic2d(48, epsilon=1e-3, angle_deg=30.0)
     mask, S = classical_strength(A, PARAMS.theta)
     cf_g = pmis_splitting(S)
     n = A.shape[0]
-    bounds = block_bounds(n, 5)
-    S_blocks = [S[int(bounds[b]):int(bounds[b + 1])] for b in range(5)]
-    cf_b = blocked_pmis(S_blocks, bounds, n)
+    nb = 5
+    bounds = block_bounds(n, nb)
+
+    def fn(rank, comm):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        _, S_o = classical_strength(A[r0:r1].tocsr(), PARAMS.theta,
+                                    row_offset=r0)
+        return blocked_pmis_comm(S_o, r0, r1, bounds, comm, seed=0)
+
+    cf_b = np.concatenate(run_blocked(fn, nb))
     assert np.array_equal(cf_g, cf_b)
 
 
@@ -73,6 +94,75 @@ def test_blocked_direct_interp():
     assert _csr_equal(P_g, P_b)
 
 
+def test_blocked_aggressive_step_bit_identical():
+    """The blocked AGGRESSIVE step (distributed dist-2 C-C graph, second
+    PMIS round, per-pass multipass exchanges, fused Jacobi repair) is
+    bit-identical to the global `_coarsen_aggressive` — the flagship
+    coarsening a pod would actually run (VERDICT r3 missing #2)."""
+    from sparsh_amg_tpu.setup.hierarchy import _coarsen_aggressive
+    A = poisson3d(20).tocsr()
+    P_g, cf_g = _coarsen_aggressive(A, FLAGSHIP)
+    for nb in (3, 8):
+        bounds = block_bounds(A.shape[0], nb)
+
+        def fn(rank, comm):
+            r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+            return blocked_coarsen_step(A[r0:r1].tocsr(), r0, r1, bounds,
+                                        comm, FLAGSHIP, aggressive=True)
+
+        outs = run_blocked(fn, nb)
+        P_b = _vstack_blocks([o[0] for o in outs])
+        cf_b = np.concatenate([o[1] for o in outs])
+        assert np.array_equal(cf_g, cf_b), f"cf mismatch at nb={nb}"
+        assert _csr_equal(P_g, P_b), f"P mismatch at nb={nb}"
+
+
+def test_blocked_full_hierarchy_flagship():
+    """Full blocked hierarchy under the FLAGSHIP config: blocked levels'
+    (cf, P) bit-identical to the global setup, coarse operators equal to
+    rounding (the RAP sums rank contributions in a different order), and
+    the solve converges in the same +-1 iterations (VERDICT r3 next #1
+    'blocked flagship hierarchy matches global')."""
+    from sparsh_amg_tpu.solve.solver import AMGSolver
+    A = poisson3d(24)
+    H_g = amg_setup(A, FLAGSHIP)
+    nb = 4
+    bounds = block_bounds(A.shape[0], nb)
+
+    def fn(rank, comm):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        return blocked_amg_setup(A[r0:r1].tocsr(), bounds, comm, FLAGSHIP)
+
+    parts = run_blocked(fn, nb)
+    # no rank ever built a matrix taller than its block + the coarse tail
+    for rank, p in enumerate(parts):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        assert p.levels[0].A.shape[0] == r1 - r0
+    H_b = stitch_blocked(parts)
+    assert H_b.n_levels == H_g.n_levels
+    n_blk = len(parts[0].levels)
+    assert n_blk >= 1
+    for i in range(n_blk):
+        lg, lb = H_g.levels[i], H_b.levels[i]
+        assert np.array_equal(lg.cf, lb.cf), f"cf level {i}"
+        assert _csr_equal(lg.P, lb.P), f"P level {i}"
+        assert _csr_equal(lg.R, lb.R), f"R level {i}"
+    # coarse operators agree to rounding
+    for i in range(1, H_g.n_levels):
+        lg, lb = H_g.levels[i], H_b.levels[i]
+        assert lg.A.shape == lb.A.shape
+        d = abs(lg.A - lb.A)
+        scale = max(abs(lg.A).max(), 1.0)
+        assert (d.max() if d.nnz else 0.0) <= 1e-12 * scale
+
+    kr = KrylovParams(method="cg", tol=1e-8)
+    b = np.random.default_rng(7).standard_normal(A.shape[0])
+    res_g = AMGSolver(A, FLAGSHIP, kr, hierarchy=H_g).solve(b)
+    res_b = AMGSolver(A, FLAGSHIP, kr, hierarchy=H_b).solve(b)
+    assert res_g.converged and res_b.converged
+    assert abs(res_g.iterations - res_b.iterations) <= 1
+
+
 def test_blocked_setup_to_distributed_handoff():
     """Per-host row-block setup feeds the DISTRIBUTED solver: the
     hierarchy whose finest level came from blocked setup solves under an
@@ -81,7 +171,6 @@ def test_blocked_setup_to_distributed_handoff():
     import jax
     from sparsh_amg_tpu.parallel.solver import DistAMGSolver, default_mesh
     if len(jax.devices()) < 8:
-        import pytest
         pytest.skip("needs 8 virtual devices")
     A = poisson3d(24)
     params = PARAMS
@@ -105,8 +194,7 @@ def test_blocked_setup_to_distributed_handoff():
 
 def test_blocked_hierarchy_convergence():
     """Hierarchy whose finest level came from the blocked setup converges
-    in the same iteration count (+-1) as the global setup (VERDICT #7
-    'matches within iterations +-1')."""
+    in the same iteration count (+-1) as the global setup."""
     from sparsh_amg_tpu.solve.solver import AMGSolver
     A = poisson3d(32)
     params = PARAMS
