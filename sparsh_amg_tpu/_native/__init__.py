@@ -111,6 +111,11 @@ def get_lib():
             _i64, _i64, _i64, _ptr(np.int64),
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.poisson3d_fill_rows.restype = None
+        lib.poisson3d_fill_rows.argtypes = [
+            _i64, _i64, _i64, _i64, _i64, _ptr(np.int64),
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
 
         lib.rs_cf.restype = _i64
         lib.rs_cf.argtypes = [

@@ -123,6 +123,41 @@ void poisson3d_fill(int64_t nx, int64_t ny, int64_t nz, int64_t* indptr,
   }
 }
 
+// Row-range variant for the per-host blocked setup: fills rows
+// [r0, r1) with GLOBAL column ids (indptr has r1-r0+1 entries,
+// indptr[0] = 0) — no rank ever materializes the global matrix.
+void poisson3d_fill_rows(int64_t nx, int64_t ny, int64_t nz, int64_t r0,
+                         int64_t r1, int64_t* indptr, int32_t* indices,
+                         double* data) {
+  const int64_t nxy = nx * ny;
+  const int64_t m = r1 - r0;
+  if (indices == nullptr) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+      const int64_t k = r0 + i;
+      const int64_t ix = k % nx, iy = (k / nx) % ny, iz = k / nxy;
+      indptr[i + 1] = 1 + (ix > 0) + (ix < nx - 1) + (iy > 0) +
+                      (iy < ny - 1) + (iz > 0) + (iz < nz - 1);
+    }
+    indptr[0] = 0;
+    for (int64_t i = 0; i < m; ++i) indptr[i + 1] += indptr[i];
+    return;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t k = r0 + i;
+    const int64_t ix = k % nx, iy = (k / nx) % ny, iz = k / nxy;
+    int64_t w = indptr[i];
+    if (iz > 0)      { indices[w] = (int32_t)(k - nxy); data[w++] = -1.0; }
+    if (iy > 0)      { indices[w] = (int32_t)(k - nx);  data[w++] = -1.0; }
+    if (ix > 0)      { indices[w] = (int32_t)(k - 1);   data[w++] = -1.0; }
+    indices[w] = (int32_t)k; data[w++] = 6.0;
+    if (ix < nx - 1) { indices[w] = (int32_t)(k + 1);   data[w++] = -1.0; }
+    if (iy < ny - 1) { indices[w] = (int32_t)(k + nx);  data[w++] = -1.0; }
+    if (iz < nz - 1) { indices[w] = (int32_t)(k + nxy); data[w++] = -1.0; }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // DIA layout builders (device-upload path, SURVEY.md section 2 C1/C23)
 // ---------------------------------------------------------------------------

@@ -120,13 +120,22 @@ def _free_port() -> int:
 
 
 def launch_processes(num_processes: int, n: int = 24,
-                     devices_per_process: int = 2,
-                     timeout: float = 900.0) -> list[dict]:
+                     devices_per_process=2,
+                     timeout: float = 900.0, setup: str = "blocked",
+                     krylov_method: str = "cg") -> list[dict]:
     """Spawn ``num_processes`` federated CPU worker processes, each running
     the full distributed solve below; returns their result dicts.
 
     This is the container's stand-in for `mpirun -np N` on a pod: same
     program, same collectives, real process boundaries (gloo over TCP).
+
+    ``setup="blocked"`` (default) runs the PROCESS-LOCAL path: each
+    worker assembles only its row block, coarsens through the blocked
+    per-host setup and uploads only addressable shards (VERDICT r3 next
+    #1).  ``setup="global"`` keeps the legacy every-process-builds-
+    everything path (uneven ``devices_per_process`` lists are only
+    supported here).  ``devices_per_process`` may be an int or a
+    per-process list (uneven topologies; gloo doesn't care).
     """
     port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -138,6 +147,10 @@ def launch_processes(num_processes: int, n: int = 24,
              if "xla_force_host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(flags)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    if np.ndim(devices_per_process) == 0:
+        dpp = [int(devices_per_process)] * num_processes
+    else:
+        dpp = [int(d) for d in devices_per_process]
     outs = [os.path.join("/tmp", f"sparsh_mp_{port}_{i}.json")
             for i in range(num_processes)]
     procs = []
@@ -146,8 +159,9 @@ def launch_processes(num_processes: int, n: int = 24,
                "--process-id", str(i),
                "--num-processes", str(num_processes),
                "--coordinator", f"localhost:{port}",
-               "--devices-per-process", str(devices_per_process),
-               "--n", str(n), "--out", outs[i]]
+               "--devices-per-process", str(dpp[i]),
+               "--n", str(n), "--setup", setup,
+               "--krylov", krylov_method, "--out", outs[i]]
         procs.append(subprocess.Popen(cmd, env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT))
@@ -166,14 +180,29 @@ def launch_processes(num_processes: int, n: int = 24,
     return results
 
 
+def _flagship_params():
+    from ..params import AMGParams
+    return AMGParams(smoother="chebyshev", coarsening="pmis",
+                     interpolation="extpi", interp_max=4,
+                     rap_drop_tol=0.01, agg_levels=1,
+                     interp_max_composed=5, intermediate_drop_tol=0.02,
+                     aggressive="pmis2", band_dtype="bfloat16",
+                     dense_size=2048, cheby_degree_coarse=1,
+                     cheby_coarse_from=1)
+
+
 def _worker_main(argv=None) -> None:
     import argparse
+    import resource
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--devices-per-process", type=int, default=2)
     ap.add_argument("--n", type=int, default=24)
+    ap.add_argument("--setup", choices=("blocked", "global"),
+                    default="blocked")
+    ap.add_argument("--krylov", default="cg")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
@@ -185,42 +214,86 @@ def _worker_main(argv=None) -> None:
                    process_id=args.process_id,
                    cpu_devices_per_process=args.devices_per_process)
 
-    from ..models.poisson import poisson3d
-    from ..params import AMGParams, KrylovParams
+    from ..params import KrylovParams
     from .solver import DistAMGSolver
 
-    A = poisson3d(args.n)
-    params = AMGParams(smoother="chebyshev", coarsening="pmis",
-                       interpolation="extpi", interp_max=4,
-                       rap_drop_tol=0.01, agg_levels=1,
-                       interp_max_composed=5, intermediate_drop_tol=0.02,
-                       aggressive="pmis2", band_dtype="bfloat16",
-                       dense_size=2048, cheby_degree_coarse=1,
-                       cheby_coarse_from=1)
-    solver = DistAMGSolver(A, mesh=global_mesh(), params=params,
-                           krylov=KrylovParams(tol=1e-8, maxiter=60))
+    params = _flagship_params()
+    krylov = KrylovParams(method=args.krylov, tol=1e-8, maxiter=60)
+    n_glob = args.n ** 3
     rng = np.random.default_rng(0)
-    b = rng.standard_normal(A.shape[0])
-    res = solver.solve(b)
-    r = A @ res.x - b
+    b = rng.standard_normal(n_glob)      # deterministic rhs; sliced below
+
+    if args.setup == "blocked":
+        # PROCESS-LOCAL path: assemble only the owned row block, blocked
+        # per-host setup, addressable-shard upload, rank-local result.
+        from ..models.poisson import poisson3d_rows
+        solver = DistAMGSolver.from_blocked(
+            lambda r0, r1: poisson3d_rows(args.n, r0, r1), n_glob,
+            mesh=global_mesh(), params=params, krylov=krylov)
+        r0, r1 = solver.row_range
+        b_loc = np.ascontiguousarray(b[r0:r1])
+        del b                       # steady state holds only the block
+        res = solver.solve(b_loc)
+        x_loc = np.asarray(res.x, dtype=np.float64)
+        # true residual on the owned rows against the global solution
+        # (explicit opt-in gather — the only O(n) array this worker
+        # ever forms, and only for this verification)
+        x_glob = solver.gather_global(res)
+        A_own = solver.blocked.levels[0].A
+        r_own = A_own @ x_glob - b_loc
+        rn = float(solver.comm.allreduce_sum(float(np.dot(r_own, r_own))))
+        bn = float(solver.comm.allreduce_sum(float(np.dot(b_loc, b_loc))))
+        true_relres = float(np.sqrt(rn / bn))
+        local_rows = int(A_own.shape[0])
+        local_nnz = int(A_own.nnz)
+        blk_nnz = int(sum(l.A.nnz for l in solver.blocked.levels))
+        tail_nnz = int(sum(l.nnz for l in solver.blocked.tail.levels))
+        holds_global_fine = False
+    else:
+        from ..models.poisson import poisson3d
+        A = poisson3d(args.n)
+        solver = DistAMGSolver(A, mesh=global_mesh(), params=params,
+                               krylov=krylov)
+        res = solver.solve(b)
+        r0, r1 = solver.row_range       # (0, n): global mode
+        x_loc = np.asarray(res.x, dtype=np.float64)
+        r = A @ x_loc - b
+        true_relres = float(np.linalg.norm(r) / np.linalg.norm(b))
+        local_rows = int(A.shape[0])
+        local_nnz = int(A.nnz)
+        blk_nnz = tail_nnz = 0
+        holds_global_fine = True
+
     out = {
         "process_id": args.process_id,
         "process_count": jax.process_count(),
         "n_devices": len(jax.devices()),
         "n_local_devices": len(jax.local_devices()),
-        "n": A.shape[0],
+        "n": n_glob,
+        "setup": args.setup,
+        "krylov": args.krylov,
         "iterations": res.iterations,
         "passes": res.refine_passes,
         "relres": res.relres,
         "converged": bool(res.converged),
-        "true_relres": float(np.linalg.norm(r) / np.linalg.norm(b)),
-        "x_norm": float(np.linalg.norm(res.x)),
-        "x_head": np.asarray(res.x[:8], dtype=np.float64).tolist(),
+        "true_relres": true_relres,
+        "row_range": [int(r0), int(r1)],
+        "local_rows": local_rows,
+        "local_nnz": local_nnz,
+        "blocked_levels_nnz": blk_nnz,
+        "tail_nnz": tail_nnz,
+        "holds_global_fine": holds_global_fine,
+        "setup_s": float(solver.setup_time),
+        "maxrss_mb": resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0,
+        "x_norm": float(np.linalg.norm(x_loc)),
+        "x_head": x_loc[:8].tolist(),
     }
     with open(args.out, "w") as f:
         json.dump(out, f)
-    print(f"worker {args.process_id}: iters={res.iterations} "
-          f"relres={res.relres:.2e} devices={len(jax.devices())}")
+    print(f"worker {args.process_id}: setup={args.setup} "
+          f"iters={res.iterations} relres={res.relres:.2e} "
+          f"rows=[{r0},{r1}) devices={len(jax.devices())}")
 
 
 if __name__ == "__main__":
