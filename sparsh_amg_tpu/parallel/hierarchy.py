@@ -27,8 +27,12 @@ from ..ops import df64
 from ..setup.hierarchy import Hierarchy
 from ..solve.device import (lambda_max_estimate, abs_row_sum,
                             dense_inverse, DeviceLevel)
-from .partition import Partition
+from .partition import Partition, _round_up as _round_up_raw
 from .dist import DistDia, DistEll, csr_to_dist, GatherOut, ReplSrc
+
+
+def _round_up_128(x: int) -> int:
+    return _round_up_raw(x, 128)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -235,7 +239,20 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
     params = params or hier.params
     dtype = dtype or jnp.dtype(params.dtype)
     bdtype = jnp.dtype(params.band_dtype)
-    parts = [Partition.make(lev.A.shape[0], nd) for lev in hier.levels]
+    # sub-mesh agglomeration (C24 at mesh scale): coarse levels get a
+    # shard height of at least sub_mesh_min_rows, concentrating their
+    # rows on the leading ceil(n/n_loc) shards (trailing shards are
+    # all-padding and contribute zeros to the collectives) — never the
+    # finest level
+    def mk(n, li):
+        part = Partition.make(n, nd)
+        if (li > 0 and params.sub_mesh_min_rows
+                and n > params.replicate_size
+                and part.n_loc < params.sub_mesh_min_rows):
+            part = Partition(n=n, nd=nd, n_loc=_round_up_128(
+                params.sub_mesh_min_rows))
+        return part
+    parts = [mk(lev.A.shape[0], li) for li, lev in enumerate(hier.levels)]
     n_lv = len(hier.levels)
     rep_from = n_lv
     if params.replicate_size > 0:

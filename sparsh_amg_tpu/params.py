@@ -180,6 +180,23 @@ class AMGParams:
                                        # (level-wise agglomeration, C24);
                                        # the crossing costs one all_gather
                                        # per cycle.  0 disables.
+    sub_mesh_min_rows: int = 0         # distributed solves: SUB-MESH
+                                       # agglomeration for mid-size coarse
+                                       # levels (between replicate_size and
+                                       # full distribution) — pick each
+                                       # level's shard height n_loc >= this,
+                                       # concentrating its rows on the
+                                       # leading ceil(n/n_loc) shards and
+                                       # leaving the rest all-padding (the
+                                       # reference's "gather small coarse
+                                       # grids onto fewer processors" at
+                                       # mesh scale; SURVEY.md §5.8).  At
+                                       # 8-16 chips 0 (off) is right; on
+                                       # larger meshes set ~2048 so coarse
+                                       # smoothers keep arithmetic density
+                                       # instead of 128-row slivers on
+                                       # every shard.  Never applied to the
+                                       # finest level.
 
     def replace(self, **kw) -> "AMGParams":
         return dataclasses.replace(self, **kw)

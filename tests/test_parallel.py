@@ -299,3 +299,36 @@ def test_dist_gell_solve_matches_serial(monkeypatch):
     assert np.linalg.norm(b - A @ res.x) / np.linalg.norm(b) <= 1e-8
     serial = AMGSolver(A, params, kr).solve(b)
     assert abs(res.iterations - serial.iterations) <= 3
+
+
+def test_sub_mesh_agglomeration():
+    """sub_mesh_min_rows (SURVEY.md §5.8; VERDICT r3 missing #6):
+    mid-size coarse levels concentrate their rows on the leading shards
+    (n_loc >= the floor, trailing shards all-padding) instead of
+    spreading 128-row slivers across the whole mesh; the solve matches
+    the fully-spread one."""
+    A = poisson3d(16)        # 4096 unknowns
+    b = np.random.default_rng(9).standard_normal(A.shape[0])
+    base = AMGParams(smoother="chebyshev", coarse_size=40,
+                     replicate_size=100)    # keep mid levels distributed
+    sub = base.replace(sub_mesh_min_rows=512)
+    kr = KrylovParams(tol=1e-8, loop_mode="device")
+    s_sub = DistAMGSolver(A, params=sub, krylov=kr)
+    s_spread = DistAMGSolver(A, params=base, krylov=kr)
+    # some coarse level is concentrated: bigger shard height than the
+    # spread layout and at least one trailing all-padding shard
+    concentrated = [
+        (ps.n_loc, pf.n_loc, ps.count(ps.nd - 1))
+        for li, (ps, pf) in enumerate(zip(s_sub.dist.parts,
+                                          s_spread.dist.parts))
+        if li > 0 and ps.n_loc > pf.n_loc]
+    assert concentrated, "no level concentrated"
+    assert any(c[2] == 0 for c in concentrated), \
+        "concentration left no shard empty"
+    # finest level untouched
+    assert s_sub.dist.parts[0].n_loc == s_spread.dist.parts[0].n_loc
+    r_sub = s_sub.solve(b)
+    r_spread = s_spread.solve(b)
+    assert r_sub.converged and r_spread.converged
+    assert np.linalg.norm(b - A @ r_sub.x) / np.linalg.norm(b) <= 1e-8
+    assert abs(r_sub.iterations - r_spread.iterations) <= 2
