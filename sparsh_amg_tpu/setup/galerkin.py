@@ -63,7 +63,17 @@ def galerkin_product(A: sp.csr_matrix, P: sp.csr_matrix,
         from .transpose import csr_transpose
         R = csr_transpose(P)
     lib = get_lib()
-    if (lib is not None and A.nnz + P.nnz >= (1 << 16)
+    # The fused path re-expands each fine row's A-row x P product once per
+    # coarse row containing it, so its flop count is ~dup x the two-pass
+    # SpGEMM's, where dup = R.nnz / n_fine = avg coarse rows per fine row.
+    # Classical interpolation (extpi/multipass, <=4-5 entries/row) keeps
+    # dup small and the fused path wins on memory (no A*P intermediate:
+    # 0.9 GB of fresh-page faults at 192^3).  Smoothed aggregation on
+    # systems explodes dup (3-D elasticity blocksize-3: P nnz/row ~31 ->
+    # measured 39.5 s fused vs 0.98 s two-pass at m=24), so fall through
+    # to the two-pass product when the duplication factor is large.
+    dup = R.nnz / max(A.shape[0], 1)
+    if (lib is not None and A.nnz + P.nnz >= (1 << 16) and dup <= 8.0
             and not os.environ.get("SPARSH_NO_FUSED_RAP")):
         # fused one-pass triple product: no A*P intermediate (0.9 GB of
         # fresh-page faults at 192^3), filter applied during emission
