@@ -201,7 +201,34 @@ def main():
         rhs = solver.prepare_rhs(b)          # 2x n_pad fp32 H2D, timed apart
         rhs_upload_s = time.perf_counter() - t1
         solver.solve(rhs, tol=1e-2)
-        res = solver.solve(rhs)
+        res = min((solver.solve(rhs) for _ in range(2)),
+                  key=lambda r: r.solve_time)
+        if args.loop_mode == "auto":
+            # The RTT probe alone mispredicts when the relay's program
+            # execution economics drift (AB_SOLVE_r4: device while_loop
+            # 1.35 s BEAT host chunk12 1.50 s same-day on a ~27 ms-RTT
+            # link where r3 measured the opposite).  auto therefore runs
+            # a measured same-day A/B of both placements on the warmed
+            # solver and keeps the winner; compiles hit the persistent
+            # cache on repeat runs.
+            import dataclasses
+            first_mode = solver.krylov.loop_mode
+            ab = {first_mode: res.solve_time}
+            alt = "device" if first_mode == "host" else "host"
+            solver.krylov = dataclasses.replace(solver.krylov,
+                                                loop_mode=alt)
+            solver._build_jitted()
+            solver.warm()
+            solver.solve(rhs, tol=1e-2)
+            res_alt = min((solver.solve(rhs) for _ in range(2)),
+                          key=lambda r: r.solve_time)
+            ab[alt] = res_alt.solve_time
+            if res_alt.solve_time < res.solve_time:
+                res = res_alt
+            else:
+                solver.krylov = dataclasses.replace(solver.krylov,
+                                                    loop_mode=first_mode)
+            setup_parts["loop_mode_ab_s"] = ab
 
     nnz = A.nnz
     # EXACT per-iteration work: the accounting module mirrors the cycle
