@@ -39,22 +39,46 @@ import numpy as np
 
 def analyze_overlap(txt: str):
     """Scan the scheduled HLO: positions of collective-permute
-    start/done pairs and of the interior DIA FMA fusions between them."""
-    starts, dones, fmas = [], [], []
-    for i, l in enumerate(txt.splitlines()):
+    start/done pairs and of compute fusions scheduled BETWEEN a pair
+    (the interior work hiding the halo exchange).
+
+    The r3 detector keyed on `/add` + >=6 %bitcast operands, which
+    matched the 96^3 fusion bodies but not the 464^3 ones (XLA names
+    and splits the big fusions differently at scale) — the acceptance
+    rule is structural instead: any non-collective fusion/computation
+    line scheduled between a start and its done."""
+    lines = txt.splitlines()
+    starts, dones, computes, fmas = [], [], [], []
+    for i, l in enumerate(lines):
         ls = l.strip()
         if re.match(r"%?collective-permute-start", ls):
             starts.append(i)
         elif re.match(r"%?collective-permute-done", ls):
             dones.append(i)
-        elif ("fusion(" in ls and "/add" in ls
-              and ls.count("%bitcast") >= 6):
-            fmas.append(i)
-    overlapped = bool(starts and dones and fmas) and any(
-        any(s < f < d for s, d in zip(starts, dones)) for f in fmas)
-    return {"n_permute_pairs": min(len(starts), len(dones)),
+        else:
+            if ("fusion(" in ls and "/add" in ls
+                    and ls.count("%bitcast") >= 6):
+                fmas.append(i)
+            if (" = " in ls and "collective" not in ls
+                    and ("fusion(" in ls or " add(" in ls
+                         or " multiply(" in ls or " dot(" in ls
+                         or "custom-call" in ls)):
+                computes.append(i)
+    pairs = list(zip(starts, dones))
+    overlapped = any(any(s < c < d for s, d in pairs) for c in computes)
+    # sample of what sits inside the first busy pair, for the artifact
+    sample = []
+    for s, d in pairs:
+        inner = [c for c in computes if s < c < d]
+        if inner:
+            sample = [lines[c].strip()[:160] for c in inner[:3]]
+            break
+    return {"n_permute_pairs": len(pairs),
             "n_interior_fmas": len(fmas),
-            "first_pair": [starts[0], dones[0]] if starts and dones else None,
+            "n_interior_computes": sum(
+                1 for c in computes if any(s < c < d for s, d in pairs)),
+            "first_pair": [starts[0], dones[0]] if pairs else None,
+            "interior_sample": sample,
             "fma_between_any_pair": overlapped}
 
 
