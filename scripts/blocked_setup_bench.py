@@ -41,7 +41,7 @@ def main():
     from sparsh_amg_tpu.setup.hierarchy import amg_setup
     from sparsh_amg_tpu.setup.blocked import (blocked_amg_setup,
                                               block_bounds)
-    from sparsh_amg_tpu.setup.comm import run_blocked
+    from sparsh_amg_tpu.setup.comm import run_blocked_procs
 
     params = AMGParams(smoother="chebyshev", cycle="V",
                        band_dtype="bfloat16", coarsening="pmis",
@@ -54,50 +54,93 @@ def main():
     nb = args.blocks
     bounds = block_bounds(n, nb)
 
-    # global reference
+    # blocked FIRST, on real forked processes (PipeComm): ThreadComm
+    # shares one GIL so every numpy phase serializes across simulated
+    # hosts — the thread simulation over-charged the blocked setup ~3x
+    # vs its deployment shape.  Forking happens before the parent runs
+    # any native OpenMP region (libgomp team state is not fork-safe).
+    ncores = os.cpu_count() or 1
+    omp_each = max(1, ncores // nb)
+
+    # Each side runs TWICE and reports cold AND warm: a fork-fresh child
+    # pays anonymous/COW page faults the long-lived global process does
+    # not (measured 7.4 s cold vs 2.05 s warm per child at 96^3 — the
+    # same 2-3x cold factor the global setup shows across process
+    # lifetimes: 28 s vs 10 s at 192^3).  Warm-vs-warm is the headline
+    # (steady-state of a setup-serving process, and how every other
+    # RESULTS number is quoted); cold-vs-cold is also printed.
+    def fn(rank, comm):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        A_own = poisson3d_rows(args.n, r0, r1)
+        times = []
+        for _ in range(2):
+            H = None                       # drop the previous hierarchy
+            t0 = time.perf_counter()       # BEFORE timing: holding it
+            H = blocked_amg_setup(A_own, bounds, comm, params)
+            times.append(time.perf_counter() - t0)
+            # (rep 2 would otherwise allocate past the held GBs onto
+            # fresh pages and measure the fault path again, 1.6-2.3x)
+        l0 = H.levels[0]                   # timed IN-child: shipping the
+        return {                           # hierarchy back through the
+            "cold_s": times[0],            # result pipe is not setup cost
+            "warm_s": times[1],
+            "cf0": l0.cf,
+            "P0": (l0.P.indptr, l0.P.indices, l0.P.data),
+            "sizes_blk": [(l.n, l.A.nnz) for l in H.levels],
+            "sizes_tail": [(l.n, l.nnz) for l in H.tail.levels],
+        }
+
+    t0 = time.perf_counter()
+    parts = run_blocked_procs(fn, nb, omp_threads=omp_each)
+    wall_s = time.perf_counter() - t0
+    blocked_cold_s = max(p["cold_s"] for p in parts)
+    blocked_s = max(p["warm_s"] for p in parts)
+    print(f"blocked setup ({nb} ranks, forked processes, "
+          f"OMP {omp_each}/rank): cold {blocked_cold_s:.1f}s / "
+          f"warm {blocked_s:.1f}s in-child "
+          f"(launch+result wall {wall_s:.1f}s)", flush=True)
+
+    # global reference (all cores), same cold/warm protocol
     t0 = time.perf_counter()
     A = poisson3d(args.n)
     gen_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     H_g = amg_setup(A, params)
+    global_cold_s = time.perf_counter() - t0
+    H_g = None                             # same drop-before-rerun rule
+    t0 = time.perf_counter()
+    H_g = amg_setup(A, params)
     global_s = time.perf_counter() - t0
-    print(f"global setup: {global_s:.1f}s  {H_g!r}", flush=True)
+    print(f"global setup: cold {global_cold_s:.1f}s / warm "
+          f"{global_s:.1f}s  {H_g!r}", flush=True)
     lvl0_P = H_g.levels[0].P
     lvl0_cf = H_g.levels[0].cf
     sizes_g = [(l.n, l.nnz) for l in H_g.levels]
     del A, H_g
 
-    # blocked: per-rank generator + full blocked hierarchy (threads)
-    def fn(rank, comm):
-        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
-        A_own = poisson3d_rows(args.n, r0, r1)
-        return blocked_amg_setup(A_own, bounds, comm, params)
-
-    t0 = time.perf_counter()
-    parts = run_blocked(fn, nb)
-    blocked_s = time.perf_counter() - t0
-    print(f"blocked setup ({nb} ranks, threads): {blocked_s:.1f}s",
-          flush=True)
-
     # level-0 bit-identity (P rows + cf per rank)
-    import scipy.sparse as sp
     ident = True
     for rank, p in enumerate(parts):
         r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
-        bl = p.levels[0]
-        ident &= bool(np.array_equal(bl.cf, lvl0_cf[r0:r1]))
+        ident &= bool(np.array_equal(p["cf0"], lvl0_cf[r0:r1]))
         Pg = lvl0_P[r0:r1].tocsr()
-        ident &= bool(np.array_equal(bl.P.indices, Pg.indices)
-                      and np.array_equal(bl.P.data, Pg.data))
-    sizes_b = ([(l.n, int(np.asarray(
-        [q.levels[i].A.nnz for q in parts]).sum()))
-        for i, l in enumerate(parts[0].levels)]
-        + [(l.n, l.nnz) for l in parts[0].tail.levels])
+        _, P_idx, P_dat = p["P0"]
+        ident &= bool(np.array_equal(P_idx, Pg.indices)
+                      and np.array_equal(P_dat, Pg.data))
+    sizes_b = ([(n_l, int(sum(q["sizes_blk"][i][1] for q in parts)))
+                for i, (n_l, _) in enumerate(parts[0]["sizes_blk"])]
+               + parts[0]["sizes_tail"])
 
     ratio = blocked_s / global_s
-    out = {"n": n, "grid": args.n, "blocks": nb, "gen_s": gen_s,
-           "global_setup_s": global_s, "blocked_setup_s": blocked_s,
-           "ratio": ratio, "level0_bit_identical": ident,
+    out = {"n": n, "grid": args.n, "blocks": nb, "omp_per_rank": omp_each,
+           "gen_s": gen_s,
+           "global_setup_cold_s": global_cold_s,
+           "global_setup_s": global_s,
+           "blocked_setup_cold_s": blocked_cold_s,
+           "blocked_setup_s": blocked_s,
+           "ratio": ratio,
+           "ratio_cold": blocked_cold_s / global_cold_s,
+           "level0_bit_identical": ident,
            "levels_global": sizes_g, "levels_blocked": sizes_b,
            "within_1p5x": ratio <= 1.5}
     with open(args.out, "w") as f:

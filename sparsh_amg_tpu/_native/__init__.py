@@ -127,6 +127,19 @@ def get_lib():
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int64),
             _ptr(np.int32), _u64, _ptr(np.int8),
         ]
+        lib.set_omp_threads.restype = None
+        lib.set_omp_threads.argtypes = [_i64]
+        lib.pmis_round_select.restype = None
+        lib.pmis_round_select.argtypes = [
+            _i64, _ptr(np.int32), _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.int64), _ptr(np.int32), _ptr(np.float64),
+            _ptr(np.int8), _ptr(np.uint8),
+        ]
+        lib.pmis_round_fassign.restype = None
+        lib.pmis_round_fassign.argtypes = [
+            _i64, _ptr(np.int32), _ptr(np.int64), _ptr(np.int32),
+            _ptr(np.int8),
+        ]
         lib.aggregate_greedy.restype = _i64
         lib.aggregate_greedy.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int32), _ptr(np.int32),

@@ -506,6 +506,59 @@ int64_t pmis_cf(int64_t n, const int64_t* S_indptr, const int32_t* S_indices,
   return n_c;
 }
 
+void set_omp_threads(int64_t n) { omp_set_num_threads((int)n); }
+
+// ---------------------------------------------------------------------------
+// Blocked-PMIS round kernels (setup/blocked.py)
+// ---------------------------------------------------------------------------
+// The per-round select / F-assign bodies of pmis_cf, operating on the
+// rank-local EXTENDED layout (owned rows [0, nloc) followed by ghost
+// columns >= nloc; cf_ext covers both, refreshed between rounds by the
+// Python comm loop).  These replace the np.maximum.at / logical_or.at
+// full-nnz passes that made the blocked PMIS ~10x the native one
+// (measured 30 of 54 rank-seconds at 96^3/8 ranks).  Selection math is
+// identical to pmis_cf, so the C/F split stays bit-identical.
+
+void pmis_round_select(int64_t nf, const int32_t* frontier,
+                       const int64_t* S_indptr, const int32_t* S_e,
+                       const int64_t* ST_indptr, const int32_t* ST_e,
+                       const double* w_ext, const int8_t* cf_ext,
+                       uint8_t* newc) {
+  const int8_t UNASSIGNED = -1;
+#pragma omp parallel for schedule(dynamic, 512)
+  for (int64_t idx = 0; idx < nf; ++idx) {
+    const int32_t i = frontier[idx];
+    const double wi = w_ext[i];
+    bool best = true;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1] && best; ++k) {
+      const int32_t j = S_e[k];
+      if (j != i && cf_ext[j] == UNASSIGNED && w_ext[j] >= wi) best = false;
+    }
+    for (int64_t k = ST_indptr[i]; k < ST_indptr[i + 1] && best; ++k) {
+      const int32_t j = ST_e[k];
+      if (j != i && cf_ext[j] == UNASSIGNED && w_ext[j] >= wi) best = false;
+    }
+    newc[idx] = best ? 1 : 0;
+  }
+}
+
+void pmis_round_fassign(int64_t nf, const int32_t* frontier,
+                        const int64_t* S_indptr, const int32_t* S_e,
+                        int8_t* cf_ext) {
+  const int8_t UNASSIGNED = -1, FPT = 0, CPT = 1;
+#pragma omp parallel for schedule(dynamic, 512)
+  for (int64_t idx = 0; idx < nf; ++idx) {
+    const int32_t i = frontier[idx];
+    if (cf_ext[i] != UNASSIGNED) continue;
+    for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+      if (cf_ext[S_e[k]] == CPT) {
+        cf_ext[i] = FPT;
+        break;
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Greedy aggregation (Vanek, Mandel & Brezina 1996)
 // ---------------------------------------------------------------------------

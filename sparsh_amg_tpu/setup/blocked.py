@@ -102,6 +102,35 @@ def _split_by_owner(want: np.ndarray, bounds: np.ndarray, size: int):
     return [want[cuts[d]:cuts[d + 1]] for d in range(size)]
 
 
+class GhostFetcher:
+    """Repeated halo-value fetches for a FIXED ghost set.
+
+    The request routing (which of my rows each peer wants) is exchanged
+    ONCE; every subsequent refresh is a single alltoall of reply
+    payloads.  The blocked PMIS/multipass round loops are latency-bound
+    on real process boundaries (±5 collectives per round before this),
+    so halving the collective count is worth more than any numpy micro-
+    optimization in those loops."""
+
+    def __init__(self, comm: BlockComm, bounds: np.ndarray, r0: int,
+                 want: np.ndarray):
+        self.comm = comm
+        self.want = want
+        reqs = _split_by_owner(want, bounds, comm.size)
+        got = comm.alltoall(reqs)
+        self._locs = [np.asarray(g, dtype=_I64) - r0 for g in got]
+
+    def fetch(self, arrays: dict) -> dict:
+        replies = [{k: np.asarray(a)[loc] for k, a in arrays.items()}
+                   for loc in self._locs]
+        resp = self.comm.alltoall(replies)
+        return {k: (np.concatenate([r[k] for r in resp])
+                    if self.want.size
+                    else np.empty((0,) + np.asarray(arrays[k]).shape[1:],
+                                  np.asarray(arrays[k]).dtype))
+                for k in arrays}
+
+
 def fetch_values(comm: BlockComm, bounds: np.ndarray, r0: int,
                  arrays: dict, want: np.ndarray) -> dict:
     """Values of rank-owned arrays at the (sorted) global indices
@@ -286,8 +315,8 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     # ghost value space
     ST_cols = np.asarray(ST_own.indices, dtype=_I64)
     ghosts = _ghosts_of(np.concatenate([S_cols, ST_cols]), r0, r1)
-    deg_g = fetch_values(comm, bounds, r0, {"deg": deg}, ghosts)["deg"] \
-        if True else None
+    fetcher = GhostFetcher(comm, bounds, r0, ghosts)
+    deg_g = fetcher.fetch({"deg": deg})["deg"]
     w_own = deg.astype(np.float64) + _hash01(
         np.arange(r0, r1, dtype=np.uint64), seed)
     w_g = deg_g.astype(np.float64) + _hash01(
@@ -309,42 +338,62 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     s_self = S_cols == (s_rows + r0)
     st_self = ST_cols == (st_rows + r0)
 
-    cf_own = np.full(nloc, UNASSIGNED, dtype=np.int8)
+    ne = nloc + ghosts.size
+    cf_ext = np.full(ne, UNASSIGNED, dtype=np.int8)
+    cf_own = cf_ext[:nloc]                 # view: round kernels write here
     iso = (np.diff(S_own.indptr) == 0) & (np.diff(ST_own.indptr) == 0)
     cf_own[iso] = FPT
 
-    def fetch_cf():
-        return fetch_values(comm, bounds, r0, {"cf": cf_own},
-                            ghosts)["cf"]
+    def refresh_ghost_cf():
+        cf_ext[nloc:] = fetcher.fetch({"cf": cf_own})["cf"]
 
-    cf_g = fetch_cf()
-    prev_un = comm.allreduce_sum(int((cf_own == UNASSIGNED).sum()))
+    # frontier-based rounds with native select/F-assign bodies (the
+    # numpy maximum.at/logical_or.at full-nnz passes were 30 of 54
+    # rank-seconds at 96^3/8; the native kernels visit only still-
+    # unassigned owned rows, exactly like pmis_cf's frontier loop, so
+    # the split stays bit-identical to the global native PMIS)
+    lib = get_lib()
+    S_ip = np.ascontiguousarray(S_own.indptr, dtype=_I64)
+    ST_ip = np.ascontiguousarray(ST_own.indptr, dtype=_I64)
+    s_e32 = np.ascontiguousarray(s_e, dtype=np.int32)
+    st_e32 = np.ascontiguousarray(st_e, dtype=np.int32)
+    frontier = np.flatnonzero(cf_own == UNASSIGNED).astype(np.int32)
+    refresh_ghost_cf()
+    prev_un = comm.allreduce_sum(int(frontier.size))
     while prev_un > 0:
-        cf_ext = np.concatenate([cf_own, cf_g])
-        un_ext = cf_ext == UNASSIGNED
-        m = np.full(nloc, -np.inf)
-        for rows_nnz, e, self_m in ((s_rows, s_e, s_self),
-                                    (st_rows, st_e, st_self)):
-            if e.size == 0:
-                continue
-            wj = np.where(un_ext[e] & ~self_m, w_ext[e], -np.inf)
-            np.maximum.at(m, rows_nnz, wj)
-        new_c = (cf_own == UNASSIGNED) & (w_own > m)
-        cf_own[new_c] = CPT
-        cf_g = fetch_cf()                          # exchange 3a
-        cf_ext = np.concatenate([cf_own, cf_g])
-        un_loc = cf_own == UNASSIGNED
-        if s_e.size:
-            hit = np.zeros(nloc, dtype=bool)
-            np.logical_or.at(hit, s_rows, cf_ext[s_e] == CPT)
-            cf_own[un_loc & hit] = FPT
-        cf_g = fetch_cf()                          # exchange 3b
-        now_un = comm.allreduce_sum(int((cf_own == UNASSIGNED).sum()))
+        if lib is not None and frontier.size:
+            newc = np.empty(frontier.size, dtype=np.uint8)
+            lib.pmis_round_select(frontier.size, frontier, S_ip, s_e32,
+                                  ST_ip, st_e32, w_ext, cf_ext, newc)
+            cf_own[frontier[newc.view(bool)]] = CPT
+        elif frontier.size:
+            un_ext = cf_ext == UNASSIGNED
+            m = np.full(nloc, -np.inf)
+            for rows_nnz, e, self_m in ((s_rows, s_e, s_self),
+                                        (st_rows, st_e, st_self)):
+                if e.size == 0:
+                    continue
+                wj = np.where(un_ext[e] & ~self_m, w_ext[e], -np.inf)
+                np.maximum.at(m, rows_nnz, wj)
+            cf_own[(cf_own == UNASSIGNED) & (w_own > m)] = CPT
+        refresh_ghost_cf()                         # exchange 3a
+        if lib is not None and frontier.size:
+            lib.pmis_round_fassign(frontier.size, frontier, S_ip, s_e32,
+                                   cf_ext)
+        elif frontier.size:
+            un_loc = cf_own == UNASSIGNED
+            if s_e.size:
+                hit = np.zeros(nloc, dtype=bool)
+                np.logical_or.at(hit, s_rows, cf_ext[s_e] == CPT)
+                cf_own[un_loc & hit] = FPT
+        refresh_ghost_cf()                         # exchange 3b
+        frontier = frontier[cf_own[frontier] == UNASSIGNED]
+        now_un = comm.allreduce_sum(int(frontier.size))
         if now_un == prev_un:
             break                                  # stall guard (native)
         prev_un = now_un
     cf_own[cf_own == UNASSIGNED] = CPT
-    return cf_own
+    return cf_own.copy()
 
 
 def _coarse_numbering(cf_own: np.ndarray, comm: BlockComm):
@@ -474,21 +523,19 @@ def _multipass_block(A_own, strong_own, r0, r1, bounds, comm, cf_own,
     frontier = (own0 + np.flatnonzero(cf_own != CPT)).astype(np.int32)
     pass_own_view = pass_loc[own_sl]
 
+    fetcher = GhostFetcher(comm, bounds, r0 - own0, ghosts)
+    # r0-own0 offset: the fetcher's reply gather indexes the EXTENDED
+    # arrays, whose owned block sits at [own0, own0+nloc)
+
     def fetch_p_rows():
         """Refresh ghost (pass, P rows) after a pass (exchange 5)."""
-        reqs = _split_by_owner(ghosts, bounds, comm.size)
-        got = comm.alltoall(reqs)
-        replies = []
-        for g in got:
-            loc = own0 + (np.asarray(g, dtype=_I64) - r0)
-            replies.append((pass_loc[loc], P_len[loc],
-                            P_cols[loc], P_vals[loc]))
-        resp = comm.alltoall(replies)
+        got = fetcher.fetch({"pass": pass_loc, "len": P_len,
+                             "cols": P_cols, "vals": P_vals})
         if ghosts.size:
-            pass_loc[gpos] = np.concatenate([x[0] for x in resp])
-            P_len[gpos] = np.concatenate([x[1] for x in resp])
-            P_cols[gpos] = np.concatenate([x[2] for x in resp])
-            P_vals[gpos] = np.concatenate([x[3] for x in resp])
+            pass_loc[gpos] = got["pass"]
+            P_len[gpos] = got["len"]
+            P_cols[gpos] = got["cols"]
+            P_vals[gpos] = got["vals"]
 
     p = 1
     indptr_c = np.ascontiguousarray(indptr)

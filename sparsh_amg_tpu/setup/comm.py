@@ -149,3 +149,104 @@ class GlooComm(BlockComm):
         stacked = np.asarray(mhu.process_allgather(buf))
         return [pickle.loads(stacked[r, : sizes[r]].tobytes())
                 for r in range(self.size)]
+
+
+class PipeComm(BlockComm):
+    """Real process boundaries without the jax.distributed runtime: N
+    forked processes exchanging over pairwise OS pipes.
+
+    The deployment-shaped cost harness (scripts/blocked_setup_bench.py):
+    ThreadComm shares one GIL, so every numpy phase of the SPMD setup
+    serializes across simulated hosts and the thread simulation
+    over-charges the blocked setup by up to the rank count; forked
+    processes charge each rank its true single-host cost (like the
+    GlooComm production path, minus the distributed-runtime spin-up).
+
+    A background sender thread per collective avoids the classic
+    all-send-first pipe deadlock (Connection.send blocks once the pipe
+    buffer fills; payloads here include the gathered coarse tail).
+    """
+
+    def __init__(self, rank: int, size: int, conns: dict):
+        self.rank = rank
+        self.size = size
+        self._conns = conns                 # peer rank -> Connection
+
+    def allgather(self, obj):
+        if self.size == 1:
+            return [obj]
+        peers = [p for p in range(self.size) if p != self.rank]
+
+        def send_all():
+            for p in peers:
+                self._conns[p].send(obj)
+
+        t = threading.Thread(target=send_all)
+        t.start()
+        out = [None] * self.size
+        out[self.rank] = obj
+        for p in peers:
+            out[p] = self._conns[p].recv()
+        t.join()
+        return out
+
+    def alltoall(self, parts: list) -> list:
+        # point-to-point: rank d receives only parts[d] (the allgather
+        # fallback would ship every rank's full send list to everyone)
+        assert len(parts) == self.size
+        peers = [p for p in range(self.size) if p != self.rank]
+
+        def send_all():
+            for p in peers:
+                self._conns[p].send(parts[p])
+
+        t = threading.Thread(target=send_all)
+        t.start()
+        out = [None] * self.size
+        out[self.rank] = parts[self.rank]
+        for p in peers:
+            out[p] = self._conns[p].recv()
+        t.join()
+        return out
+
+
+def run_blocked_procs(fn, n_blocks: int, omp_threads: int | None = None):
+    """Run ``fn(rank, comm)`` on ``n_blocks`` forked processes with
+    pairwise pipes; returns the per-rank results (pickled back through a
+    result pipe).  ``omp_threads`` caps each rank's OpenMP parallelism
+    (deployment: each host owns its cores; simulation: cores/n_blocks)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    if n_blocks == 1:
+        return [fn(0, PipeComm(0, 1, {}))]
+    pipes = {}
+    for a in range(n_blocks):
+        for b in range(a + 1, n_blocks):
+            pipes[(a, b)] = ctx.Pipe()
+    res_pipes = [ctx.Pipe(duplex=False) for _ in range(n_blocks)]
+
+    def worker(rank):
+        conns = {}
+        for (a, b), (ca, cb) in pipes.items():
+            if a == rank:
+                conns[b] = ca
+            elif b == rank:
+                conns[a] = cb
+        if omp_threads is not None:
+            from .._native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                lib.set_omp_threads(int(omp_threads))
+        out = fn(rank, PipeComm(rank, n_blocks, conns))
+        res_pipes[rank][1].send(out)
+
+    procs = [ctx.Process(target=worker, args=(r,), daemon=True)
+             for r in range(n_blocks)]
+    for p in procs:
+        p.start()
+    results = [res_pipes[r][0].recv() for r in range(n_blocks)]
+    for p in procs:
+        p.join()
+        if p.exitcode:
+            raise RuntimeError(f"blocked-setup process exited {p.exitcode}")
+    return results
