@@ -129,6 +129,8 @@ def get_lib():
         ]
         lib.set_omp_threads.restype = None
         lib.set_omp_threads.argtypes = [_i64]
+        lib.omp_fork_prepare.restype = None
+        lib.omp_fork_prepare.argtypes = []
         lib.pmis_round_select.restype = None
         lib.pmis_round_select.argtypes = [
             _i64, _ptr(np.int32), _ptr(np.int64), _ptr(np.int32),

@@ -508,6 +508,13 @@ int64_t pmis_cf(int64_t n, const int64_t* S_indptr, const int32_t* S_indices,
 
 void set_omp_threads(int64_t n) { omp_set_num_threads((int)n); }
 
+// Release libgomp's thread team before fork(): forking a process whose
+// OpenMP pool has ever run deadlocks the child's first parallel region
+// (classic libgomp fork hazard — bisected via run_blocked_procs after a
+// ThreadComm run).  omp_pause_hard tears the team down; it respawns
+// lazily on the next parallel region in parent and child alike.
+void omp_fork_prepare(void) { omp_pause_resource_all(omp_pause_hard); }
+
 // ---------------------------------------------------------------------------
 // Blocked-PMIS round kernels (setup/blocked.py)
 // ---------------------------------------------------------------------------

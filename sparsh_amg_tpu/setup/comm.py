@@ -219,6 +219,12 @@ def run_blocked_procs(fn, n_blocks: int, omp_threads: int | None = None):
     ctx = mp.get_context("fork")
     if n_blocks == 1:
         return [fn(0, PipeComm(0, 1, {}))]
+    from .._native import get_lib
+    _lib = get_lib()
+    if _lib is not None:
+        _lib.omp_fork_prepare()    # release the libgomp team: forking a
+        # process whose OpenMP pool has run deadlocks children's first
+        # parallel region; the team respawns lazily after fork
     pipes = {}
     for a in range(n_blocks):
         for b in range(a + 1, n_blocks):

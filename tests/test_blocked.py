@@ -215,3 +215,31 @@ def test_blocked_hierarchy_convergence():
     res_b = AMGSolver(A, params, kr, hierarchy=hier_b).solve(b)
     assert res_g.converged and res_b.converged
     assert abs(res_g.iterations - res_b.iterations) <= 1
+
+
+def test_pipecomm_matches_threadcomm():
+    """PipeComm (forked processes, pairwise pipes — the deployment-shaped
+    cost-harness transport) produces the identical blocked hierarchy to
+    ThreadComm: same level-0 cf/P per rank and same level sizes."""
+    from sparsh_amg_tpu.setup.comm import run_blocked_procs
+    m, nb = 20, 4
+    A = poisson3d(m)
+    n = A.shape[0]
+    bounds = block_bounds(n, nb)
+
+    def fn(rank, comm):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        H = blocked_amg_setup(A[r0:r1].tocsr(), bounds, comm, FLAGSHIP)
+        l0 = H.levels[0]
+        return (l0.cf, l0.P.indices.copy(), l0.P.data.copy(),
+                [(l.n, l.A.nnz) for l in H.levels],
+                [(l.n, l.nnz) for l in H.tail.levels])
+
+    ref = run_blocked(fn, nb)            # threads (the pytest harness)
+    got = run_blocked_procs(fn, nb)      # forked processes + pipes
+    for r in range(nb):
+        assert np.array_equal(ref[r][0], got[r][0])
+        assert np.array_equal(ref[r][1], got[r][1])
+        assert np.array_equal(ref[r][2], got[r][2])
+        assert ref[r][3] == got[r][3]
+        assert ref[r][4] == got[r][4]
