@@ -131,6 +131,15 @@ def get_lib():
         lib.set_omp_threads.argtypes = [_i64]
         lib.omp_fork_prepare.restype = None
         lib.omp_fork_prepare.argtypes = []
+        lib.stable_counting_order.restype = None
+        lib.stable_counting_order.argtypes = [
+            _i64, _ptr(np.int64), _i64, _ptr(np.int64),
+        ]
+        lib.coo_to_csr_pattern.restype = None
+        lib.coo_to_csr_pattern.argtypes = [
+            _i64, _i64, _ptr(np.int64), _ptr(np.int64), _ptr(np.int64),
+            _ptr(np.int32),
+        ]
         lib.pmis_round_select.restype = None
         lib.pmis_round_select.argtypes = [
             _i64, _ptr(np.int32), _ptr(np.int64), _ptr(np.int32),

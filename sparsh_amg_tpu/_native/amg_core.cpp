@@ -566,6 +566,34 @@ void pmis_round_fassign(int64_t nf, const int32_t* frontier,
   }
 }
 
+// Stable counting sort: order such that keys[order] is ascending and
+// equal keys keep input order.  Replaces np.argsort(kind="stable") in
+// the blocked-setup exchanges (1.0 s -> ~50 ms at 5.3M keys/rank; the
+// key domains there are tiny: rank owners <= 64, coarse-local rows).
+void stable_counting_order(int64_t n, const int64_t* keys, int64_t nkeys,
+                           int64_t* order) {
+  std::vector<int64_t> offs(nkeys + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++offs[keys[i] + 1];
+  for (int64_t k = 0; k < nkeys; ++k) offs[k + 1] += offs[k];
+  for (int64_t i = 0; i < n; ++i) order[offs[keys[i]]++] = i;
+}
+
+// COO pattern -> CSR with sorted rows (the blocked PMIS ST build:
+// scipy's coo_tocsr + sort_indices was ~0.7 s/rank at 5.3M entries).
+// indptr must be zero-initialized (nr+1).
+void coo_to_csr_pattern(int64_t nr, int64_t nnz, const int64_t* rows,
+                        const int64_t* cols, int64_t* indptr,
+                        int32_t* out_cols) {
+  for (int64_t k = 0; k < nnz; ++k) ++indptr[rows[k] + 1];
+  for (int64_t i = 0; i < nr; ++i) indptr[i + 1] += indptr[i];
+  std::vector<int64_t> cur(indptr, indptr + nr);
+  for (int64_t k = 0; k < nnz; ++k)
+    out_cols[cur[rows[k]]++] = (int32_t)cols[k];
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t i = 0; i < nr; ++i)
+    std::sort(out_cols + indptr[i], out_cols + indptr[i + 1]);
+}
+
 // ---------------------------------------------------------------------------
 // Greedy aggregation (Vanek, Mandel & Brezina 1996)
 // ---------------------------------------------------------------------------

@@ -95,6 +95,20 @@ def owner_of(idx: np.ndarray, bounds: np.ndarray) -> np.ndarray:
 # Fetch primitives (request/reply routing over comm.alltoall)
 # ---------------------------------------------------------------------------
 
+def _stable_order(keys: np.ndarray, nkeys: int) -> np.ndarray:
+    """Stable ascending order of small-domain integer keys — native
+    counting sort (np.argsort(kind="stable") was ~1 s per 5.3M keys per
+    rank in the exchange preambles; the domains are tiny: rank owners,
+    coarse-local rows)."""
+    k = np.ascontiguousarray(keys, dtype=_I64)
+    lib = get_lib()
+    if lib is None or k.size < (1 << 14):
+        return np.argsort(k, kind="stable")
+    order = np.empty(k.size, dtype=_I64)
+    lib.stable_counting_order(k.size, k, int(nkeys), order)
+    return order
+
+
 def _split_by_owner(want: np.ndarray, bounds: np.ndarray, size: int):
     """want must be sorted; returns per-destination slices (views)."""
     own = owner_of(want, bounds)
@@ -295,7 +309,7 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
 
     # exchange 2: incoming strength edges (ST rows for owned points)
     tgt_owner = owner_of(S_cols, bounds)
-    order = np.argsort(tgt_owner, kind="stable")
+    order = _stable_order(tgt_owner, size)
     so_cols, so_src = S_cols[order], S_rows_g[order]
     cuts = np.searchsorted(tgt_owner[order], np.arange(size + 1))
     send = [(so_cols[cuts[d]:cuts[d + 1]], so_src[cuts[d]:cuts[d + 1]])
@@ -306,11 +320,27 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     in_s = (np.concatenate([g[1] for g in got]) if got
             else np.empty(0, _I64))
     n_cols = S_own.shape[1]
-    ST_own = sp.csr_matrix(
-        (np.ones(in_t.size, dtype=np.int8),
-         (np.asarray(in_t, dtype=_I64) - r0, in_s)),
-        shape=(max(nloc, 1), n_cols))[:nloc]
-    ST_own.sort_indices()
+    lib0 = get_lib()
+    if lib0 is not None and in_t.size >= (1 << 14) and nloc:
+        # native COO->CSR with sorted rows (scipy's coo_tocsr +
+        # sort_indices was ~0.7 s/rank at 5.3M entries)
+        rows_l = np.asarray(in_t, dtype=_I64) - r0
+        st_ip = np.zeros(nloc + 1, dtype=_I64)
+        st_cols = np.empty(rows_l.size, dtype=np.int32)
+        lib0.coo_to_csr_pattern(nloc, rows_l.size, rows_l,
+                                np.ascontiguousarray(in_s, dtype=_I64),
+                                st_ip, st_cols)
+        ST_own = sp.csr_matrix(
+            (np.ones(rows_l.size, dtype=np.int8), st_cols, st_ip),
+            shape=(nloc, n_cols))
+        ST_own.has_sorted_indices = True
+        ST_own.has_canonical_format = True
+    else:
+        ST_own = sp.csr_matrix(
+            (np.ones(in_t.size, dtype=np.int8),
+             (np.asarray(in_t, dtype=_I64) - r0, in_s)),
+            shape=(max(nloc, 1), n_cols))[:nloc]
+        ST_own.sort_indices()
 
     # ghost value space
     ST_cols = np.asarray(ST_own.indices, dtype=_I64)
@@ -833,7 +863,7 @@ def blocked_transpose(P_own: sp.csr_matrix, r0: int, n_fine: int,
     rows_g = r0 + np.repeat(np.arange(nloc, dtype=_I64),
                             np.diff(P_own.indptr))
     dest = owner_of(cols, bounds_c)
-    order = np.argsort(dest, kind="stable")
+    order = _stable_order(dest, comm.size)
     cuts = np.searchsorted(dest[order], np.arange(comm.size + 1))
     send = [(cols[order[cuts[d]:cuts[d + 1]]],
              rows_g[order[cuts[d]:cuts[d + 1]]],
@@ -846,7 +876,7 @@ def blocked_transpose(P_own: sp.csr_matrix, r0: int, n_fine: int,
           np.empty(0, _I64)) - c0
     ri = np.concatenate([g[1] for g in got]) if got else np.empty(0, _I64)
     rv = np.concatenate([g[2] for g in got]) if got else np.empty(0)
-    ordr = np.argsort(rc, kind="stable")
+    ordr = _stable_order(rc, nc_loc)
     counts = (np.bincount(rc, minlength=nc_loc) if rc.size else
               np.zeros(nc_loc, dtype=_I64))
     indptr = np.zeros(nc_loc + 1, dtype=_I64)
@@ -894,9 +924,33 @@ def blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
         (np.ascontiguousarray(A_own.data, np.float64), lidx,
          np.ascontiguousarray(A_own.indptr, _I64)), shape=(nloc, ne))
     A_loc.has_sorted_indices = True
-    W = spgemm(A_loc, P_ext)                       # (nloc, n_c)
+    lib = get_lib()
     PT = P_own.T.tocsr()                           # (n_c, nloc) — local nnz
-    C_part = spgemm(PT, W)                         # contributions
+    dup = P_ext.nnz / max(ne, 1)
+    if (lib is not None and comm.process_exclusive and dup <= 8.0
+            and A_own.nnz + P_ext.nnz >= (1 << 16)):
+        # fused local triple product PT A_loc P_ext — no W intermediate
+        # (the same economics as the global galerkin_product: dup-gated).
+        # Uses the process-global g_rap staging arena, hence gated on
+        # comm.process_exclusive: thread-simulated ranks must not share
+        # it (PipeComm/GlooComm ranks each own their process).
+        R_ip, R_ix, R_d = csr_arrays(PT)
+        Al_ip, Al_ix, Al_d = csr_arrays(A_loc)
+        Pe_ip, Pe_ix, Pe_d = csr_arrays(P_ext)
+        lib.rap_fused_compute(PT.shape[0], n_c, R_ip, R_ix, R_d,
+                              Al_ip, Al_ix, Al_d, Pe_ip, Pe_ix, Pe_d)
+        C_indptr = np.empty(PT.shape[0] + 1, dtype=_I64)
+        nnz_c = lib.rap_fused_extract(0.0, C_indptr)
+        C_ix = np.empty(nnz_c, dtype=np.int32)
+        C_d = np.empty(nnz_c, dtype=np.float64)
+        lib.rap_fused_emit(C_indptr, C_ix, C_d)
+        C_part = sp.csr_matrix((C_d, C_ix, C_indptr),
+                               shape=(PT.shape[0], n_c))
+        C_part.has_sorted_indices = True
+        C_part.has_canonical_format = True
+    else:
+        W = spgemm(A_loc, P_ext)                   # (nloc, n_c)
+        C_part = spgemm(PT, W)                     # contributions
     # route contribution rows to coarse owners; nonzero rows only
     nz_rows = np.flatnonzero(np.diff(C_part.indptr))
     dest = owner_of(nz_rows, bounds_c)

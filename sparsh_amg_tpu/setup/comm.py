@@ -37,6 +37,10 @@ class BlockComm:
     """
     rank: int
     size: int
+    # True when each rank is its own OS process (PipeComm/GlooComm):
+    # gates native kernels with process-global staging state (the fused
+    # RAP arena) that thread-simulated ranks (ThreadComm) must not share
+    process_exclusive = False
 
     def allgather(self, obj):
         raise NotImplementedError
@@ -123,6 +127,8 @@ class GlooComm(BlockComm):
     with ``multihost_utils.process_allgather``, and unpickled.
     """
 
+    process_exclusive = True
+
     def __init__(self):
         import jax
         self.rank = jax.process_index()
@@ -166,6 +172,8 @@ class PipeComm(BlockComm):
     all-send-first pipe deadlock (Connection.send blocks once the pipe
     buffer fills; payloads here include the gathered coarse tail).
     """
+
+    process_exclusive = True
 
     def __init__(self, rank: int, size: int, conns: dict):
         self.rank = rank
