@@ -426,3 +426,32 @@ def test_rap_filter_diagonal_guard():
         assert (d > 0).all(), name
         # guard: every filtered diagonal keeps >= 10% of the unfiltered
         assert (d >= 0.1 * ref - 1e-12).all(), name
+
+
+def test_galerkin_wide_dup_two_pass_matches_scipy():
+    """galerkin_product falls through to the two-pass SpGEMM when the
+    interpolation overlap is wide (dup = R.nnz/n_fine > 8 — smoothed
+    aggregation systems P re-expands each fine row ~dup times in the
+    fused path: 39.5 s vs 0.98 s measured on 3-D elasticity at m=24).
+    The result must still equal the scipy triple product."""
+    from sparsh_amg_tpu.models.elasticity import (elasticity3d,
+                                                  elasticity3d_nullspace)
+    from sparsh_amg_tpu.params import AMGParams
+    from sparsh_amg_tpu.setup.hierarchy import amg_setup
+    from sparsh_amg_tpu.setup.galerkin import galerkin_product
+
+    m = 8
+    A = elasticity3d(m).tocsr()
+    ns = elasticity3d_nullspace(m)
+    params = AMGParams(coarsening="aggregation", interpolation="smoothed",
+                       agg_blocksize=3, p_smooth_filter=False,
+                       coarse_size=50)
+    h = amg_setup(A, params, nullspace=ns)
+    P = h.levels[0].P.tocsr()
+    dup = P.nnz / A.shape[0]
+    assert dup > 8.0, f"test premise: wide overlap (dup={dup:.1f})"
+    Ac = galerkin_product(A, P.tocsr())
+    ref = (P.T @ A @ P).tocsr()
+    ref.eliminate_zeros()
+    d = abs(Ac - ref)
+    assert d.max() if d.nnz else 0.0 <= 1e-8 * max(1.0, abs(ref).max())
