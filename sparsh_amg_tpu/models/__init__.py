@@ -8,7 +8,7 @@ scipy Kronecker products.
 """
 from .poisson import poisson2d, poisson3d
 from .anisotropic import anisotropic2d
-from .convection import convection2d
+from .convection import convection2d, convection3d
 from .jump import jump2d
 from .elasticity import (elasticity2d, elasticity2d_nullspace,
                          elasticity3d, elasticity3d_nullspace)
@@ -19,6 +19,7 @@ __all__ = [
     "poisson3d",
     "anisotropic2d",
     "convection2d",
+    "convection3d",
     "jump2d",
     "elasticity2d",
     "elasticity2d_nullspace",

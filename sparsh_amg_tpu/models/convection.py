@@ -54,3 +54,53 @@ def convection2d(nx: int, ny: int | None = None, epsilon: float = 1e-2,
         shape=(n, n)).tocsr()
     A.sum_duplicates()
     return A
+
+
+def convection3d(nx: int, ny: int | None = None, nz: int | None = None,
+                 epsilon: float = 1e-2,
+                 b: tuple = (1.0, 0.5, 0.25),
+                 dtype=np.float64) -> sp.csr_matrix:
+    """-eps*Lap(u) + b.grad(u), 7-point upwind FD on an interior
+    nx*ny*nz grid with h = 1/(nx+1) — the 3-D CDR operator shape of the
+    reference's FEM client (SURVEY.md §1 ParMooN; §2 C20 pairs BiCGStab
+    with AMG for these).  First-order upwinding keeps the M-matrix
+    property; nonsymmetric for b != 0."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    h = 1.0 / (nx + 1)
+    n = nx * ny * nz
+    cd = epsilon / (h * h)
+    bx, by, bz = b
+
+    def up(bc):
+        # (coeff of u_{-1}, coeff of u_{+1}, diagonal contribution)
+        return ((-bc / h if bc > 0 else 0.0),
+                (bc / h if bc < 0 else 0.0),
+                abs(bc) / h)
+
+    (cxm, cxp, cxd), (cym, cyp, cyd), (czm, czp, czd) = up(bx), up(by), up(bz)
+    stencil = {
+        (0, 0, 0): 6 * cd + cxd + cyd + czd,
+        (-1, 0, 0): -cd + cxm, (1, 0, 0): -cd + cxp,
+        (0, -1, 0): -cd + cym, (0, 1, 0): -cd + cyp,
+        (0, 0, -1): -cd + czm, (0, 0, 1): -cd + czp,
+    }
+    ix, iy, iz = np.arange(nx), np.arange(ny), np.arange(nz)
+    IZ, IY, IX = np.meshgrid(iz, iy, ix, indexing="ij")
+    IXf, IYf, IZf = IX.ravel(), IY.ravel(), IZ.ravel()
+    idx = (IZf * ny + IYf) * nx + IXf
+    rows, cols, vals = [], [], []
+    for (dx, dy, dz), v in stencil.items():
+        if v == 0.0:
+            continue
+        jx, jy, jz = IXf + dx, IYf + dy, IZf + dz
+        m = ((jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+             & (jz >= 0) & (jz < nz))
+        rows.append(idx[m])
+        cols.append((jz[m] * ny + jy[m]) * nx + jx[m])
+        vals.append(np.full(int(m.sum()), v, dtype=dtype))
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    return A

@@ -79,6 +79,12 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         nx = int(round((n or 1_000_000) ** 0.5))
         A = convection2d(nx, **kw)
         meta = {"nx": nx, "epsilon": kw.get("epsilon", 1e-2)}
+    elif name == "convection3d":
+        from .convection import convection3d
+        nx = int(round((n or 1_000_000) ** (1.0 / 3.0)))
+        A = convection3d(nx, **kw)
+        meta = {"nx": nx, "grid": (nx, nx, nx),
+                "epsilon": kw.get("epsilon", 1e-2)}
     else:
         raise ValueError(f"unknown problem {name!r}")
     return Problem(name=name, A=A, b=_rhs(A, rhs), meta=meta)

@@ -142,3 +142,24 @@ def test_elasticity3d_spd_and_rigid_body_modes():
     free = np.where(~clamped)[0]
     interior = (free // 3) % 7 > 1
     assert np.abs(r[interior]).max() < 1e-9 * abs(A).max()
+
+
+def test_convection3d_upwind_m_matrix():
+    """3-D upwind CDR operator: row sums ~0 in the interior (consistency),
+    positive diagonal, non-positive off-diagonals (M-matrix from
+    first-order upwinding), nonsymmetric for b != 0."""
+    from sparsh_amg_tpu.models.convection import convection3d
+    A = convection3d(8, epsilon=1e-2, b=(1.0, 0.5, 0.25)).tocsr()
+    n = A.shape[0]
+    assert A.shape == (512, 512)
+    d = A.diagonal()
+    assert (d > 0).all()
+    offd = A - sp.diags(d)
+    assert offd.nnz and (offd.data <= 1e-14).all()
+    # nonsymmetric
+    assert abs(A - A.T).max() > 1e-8
+    # interior rows sum to zero (convection is conservative upwind;
+    # boundary rows keep the eliminated-Dirichlet surplus)
+    rs = np.asarray(A.sum(axis=1)).ravel()
+    interior = np.flatnonzero(np.abs(rs) < 1e-9)
+    assert interior.size > 0.3 * n

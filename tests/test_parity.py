@@ -18,6 +18,7 @@ import pytest
 
 from sparsh_amg_tpu.models import (poisson2d, poisson3d, anisotropic2d,
                                    elasticity2d, convection2d)
+from sparsh_amg_tpu.models.convection import convection3d as _convection3d
 from sparsh_amg_tpu.models.elasticity import (
     elasticity2d_nullspace as _elas_ns, elasticity3d as _elas3d,
     elasticity3d_nullspace as _elas3d_ns)
@@ -52,6 +53,14 @@ PARITY_TABLE = [
      KrylovParams(method="bicgstab"), 20),
     ("convection2d_48_gs2_V_bicgstab", lambda: convection2d(48),
      AMGParams(smoother="gs2"), KrylovParams(method="bicgstab"), 12),
+    # 3-D CDR (round 4): 7-point upwind, PMIS+ext+i with RAP filtering
+    # keeps opC ~2.5 grid-independent (classical RS blew up to 9.3 at
+    # m=24); 9/10/9 iters at m=16/24/32
+    ("convection3d_24_pmis_extpi_V_bicgstab",
+     lambda: _convection3d(24),
+     AMGParams(smoother="gs2", coarsening="pmis", interpolation="extpi",
+               interp_max=4, rap_drop_tol=0.01),
+     KrylovParams(method="bicgstab"), 10),
     ("elasticity2d_24_agg_V_cg", lambda: elasticity2d(24),
      AMGParams(coarsening="aggregation", interpolation="smoothed",
                smoother="chebyshev", coarse_size=200),
