@@ -71,6 +71,14 @@ def configs(scale: int = 1):
                      smoother="chebyshev", coarse_size=200,
                      agg_blocksize=3, p_smooth_filter=False),
            KrylovParams(method="cg", tol=1e-8, maxiter=300))
+    from sparsh_amg_tpu.models.convection import convection3d
+    mc = 96 // scale
+    yield (f"convection3d_{mc}_pmis_extpi_V_bicgstab",
+           lambda: (convection3d(mc), None),
+           AMGParams(smoother="gs2", coarsening="pmis",
+                     interpolation="extpi", interp_max=4,
+                     rap_drop_tol=0.01),
+           KrylovParams(method="bicgstab", tol=1e-8, maxiter=300))
     yield (f"jump2d_{m2}_random_1e4_V_cg",
            lambda: (jump2d(m2, contrast=1e4, pattern="random"), None),
            AMGParams(smoother="chebyshev", coarsening="pmis",
