@@ -553,17 +553,25 @@ void pmis_round_fassign(int64_t nf, const int32_t* frontier,
                         const int64_t* S_indptr, const int32_t* S_e,
                         int8_t* cf_ext) {
   const int8_t UNASSIGNED = -1, FPT = 0, CPT = 1;
+  // two phases (mark, then commit) so no iteration writes cf_ext while
+  // another reads it — the single-phase form raced UNASSIGNED->FPT
+  // stores against neighbour reads (benign outcome today, UB per the
+  // memory model and fragile under any future state change)
+  std::vector<uint8_t> newf(nf, 0);
 #pragma omp parallel for schedule(dynamic, 512)
   for (int64_t idx = 0; idx < nf; ++idx) {
     const int32_t i = frontier[idx];
     if (cf_ext[i] != UNASSIGNED) continue;
     for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
       if (cf_ext[S_e[k]] == CPT) {
-        cf_ext[i] = FPT;
+        newf[idx] = 1;
         break;
       }
     }
   }
+#pragma omp parallel for schedule(static)
+  for (int64_t idx = 0; idx < nf; ++idx)
+    if (newf[idx]) cf_ext[frontier[idx]] = FPT;
 }
 
 // Stable counting sort: order such that keys[order] is ascending and
@@ -1238,7 +1246,12 @@ struct RapState {
   std::vector<double> diag_abs;           // |c_ii| (0 if absent)
   double drop_tol = 0.0;
 };
-RapState g_rap;
+// thread_local: each blocked-setup rank (a Python thread under
+// ThreadComm, a process under PipeComm/GlooComm) owns its arena, so the
+// fused RAP is safe on every transport; the compute/extract/emit
+// sequence always runs on one calling thread, and the inner OpenMP
+// region binds the caller's instance by reference.
+thread_local RapState g_rap;
 
 }  // namespace
 

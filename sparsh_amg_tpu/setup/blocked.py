@@ -44,6 +44,7 @@ Run under :func:`~.comm.run_blocked` (threads; tests) or with a
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import scipy.sparse as sp
@@ -59,6 +60,10 @@ from .._native import get_lib, csr_arrays
 
 UNASSIGNED = -1
 _I64 = np.int64
+# fused-RAP size gate (blocked_rap): below this the two-pass SpGEMM's
+# simplicity wins; module-level so tests can force the fused branch at
+# toy sizes
+_FUSED_MIN_NNZ = 1 << 16
 
 
 # ---------------------------------------------------------------------------
@@ -927,13 +932,16 @@ def blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
     lib = get_lib()
     PT = P_own.T.tocsr()                           # (n_c, nloc) — local nnz
     dup = P_ext.nnz / max(ne, 1)
-    if (lib is not None and comm.process_exclusive and dup <= 8.0
-            and A_own.nnz + P_ext.nnz >= (1 << 16)):
+    if (lib is not None and dup <= 8.0
+            and A_own.nnz + P_ext.nnz >= _FUSED_MIN_NNZ
+            and not os.environ.get("SPARSH_NO_FUSED_RAP")):
         # fused local triple product PT A_loc P_ext — no W intermediate
-        # (the same economics as the global galerkin_product: dup-gated).
-        # Uses the process-global g_rap staging arena, hence gated on
-        # comm.process_exclusive: thread-simulated ranks must not share
-        # it (PipeComm/GlooComm ranks each own their process).
+        # (the same economics as the global galerkin_product: dup-gated,
+        # same SPARSH_NO_FUSED_RAP kill switch).  The native staging
+        # arena is thread_local, so every transport takes the SAME
+        # branch (ThreadComm ranks are threads, PipeComm/GlooComm ranks
+        # are processes) and thread-vs-process hierarchies stay
+        # identical at every scale.
         R_ip, R_ix, R_d = csr_arrays(PT)
         Al_ip, Al_ix, Al_d = csr_arrays(A_loc)
         Pe_ip, Pe_ix, Pe_d = csr_arrays(P_ext)

@@ -37,10 +37,6 @@ class BlockComm:
     """
     rank: int
     size: int
-    # True when each rank is its own OS process (PipeComm/GlooComm):
-    # gates native kernels with process-global staging state (the fused
-    # RAP arena) that thread-simulated ranks (ThreadComm) must not share
-    process_exclusive = False
 
     def allgather(self, obj):
         raise NotImplementedError
@@ -127,8 +123,6 @@ class GlooComm(BlockComm):
     with ``multihost_utils.process_allgather``, and unpickled.
     """
 
-    process_exclusive = True
-
     def __init__(self):
         import jax
         self.rank = jax.process_index()
@@ -172,8 +166,6 @@ class PipeComm(BlockComm):
     all-send-first pipe deadlock (Connection.send blocks once the pipe
     buffer fills; payloads here include the gathered coarse tail).
     """
-
-    process_exclusive = True
 
     def __init__(self, rank: int, size: int, conns: dict):
         self.rank = rank
@@ -242,25 +234,67 @@ def run_blocked_procs(fn, n_blocks: int, omp_threads: int | None = None):
     def worker(rank):
         conns = {}
         for (a, b), (ca, cb) in pipes.items():
+            # keep only this rank's ends; CLOSE every inherited copy of
+            # the others — a third rank holding an open copy would
+            # otherwise keep a dead peer's connection from ever EOFing
             if a == rank:
                 conns[b] = ca
+                cb.close()
             elif b == rank:
                 conns[a] = cb
+                ca.close()
+            else:
+                ca.close()
+                cb.close()
+        for rr, (rd, wr) in enumerate(res_pipes):
+            rd.close()
+            if rr != rank:
+                wr.close()
         if omp_threads is not None:
             from .._native import get_lib
             lib = get_lib()
             if lib is not None:
                 lib.set_omp_threads(int(omp_threads))
-        out = fn(rank, PipeComm(rank, n_blocks, conns))
+        try:
+            out = fn(rank, PipeComm(rank, n_blocks, conns))
+        except BaseException as e:          # noqa: BLE001 — re-raised in
+            import traceback                # the parent below
+            res_pipes[rank][1].send(
+                ("__blocked_rank_error__", rank,
+                 "".join(traceback.format_exception(e))))
+            raise
         res_pipes[rank][1].send(out)
 
     procs = [ctx.Process(target=worker, args=(r,), daemon=True)
              for r in range(n_blocks)]
     for p in procs:
         p.start()
-    results = [res_pipes[r][0].recv() for r in range(n_blocks)]
+    # close the parent's copies of the pairwise pipes and of the result
+    # write ends: recv() below then sees EOF if a child dies before
+    # sending (instead of blocking forever — a rank failure must raise,
+    # like run_blocked's barrier abort)
+    for ca, cb in pipes.values():
+        ca.close()
+        cb.close()
+    for _, w in res_pipes:
+        w.close()
+    results = [None] * n_blocks
+    errors = []
+    for r in range(n_blocks):
+        try:
+            out = res_pipes[r][0].recv()
+        except EOFError:
+            errors.append((r, "process died before sending a result"))
+            continue
+        if (isinstance(out, tuple) and len(out) == 3
+                and out[0] == "__blocked_rank_error__"):
+            errors.append((out[1], out[2]))
+        else:
+            results[r] = out
     for p in procs:
         p.join()
-        if p.exitcode:
-            raise RuntimeError(f"blocked-setup process exited {p.exitcode}")
+    if errors:
+        r, detail = errors[0]
+        raise RuntimeError(
+            f"blocked-setup rank {r} failed:\n{detail}")
     return results

@@ -217,11 +217,17 @@ def test_blocked_hierarchy_convergence():
     assert abs(res_g.iterations - res_b.iterations) <= 1
 
 
-def test_pipecomm_matches_threadcomm():
+def test_pipecomm_matches_threadcomm(monkeypatch):
     """PipeComm (forked processes, pairwise pipes — the deployment-shaped
     cost-harness transport) produces the identical blocked hierarchy to
-    ThreadComm: same level-0 cf/P per rank and same level sizes."""
+    ThreadComm: same level-0 cf/P per rank and same level sizes.  The
+    fused-RAP gate is forced open so the branch production sizes take
+    (thread_local native arena) runs under BOTH transports — at the
+    default gate every toy size falls through to two-pass and the
+    equivalence would be vacuous for the fused path."""
+    import sparsh_amg_tpu.setup.blocked as blocked_mod
     from sparsh_amg_tpu.setup.comm import run_blocked_procs
+    monkeypatch.setattr(blocked_mod, "_FUSED_MIN_NNZ", 0)
     m, nb = 20, 4
     A = poisson3d(m)
     n = A.shape[0]
@@ -243,3 +249,19 @@ def test_pipecomm_matches_threadcomm():
         assert np.array_equal(ref[r][2], got[r][2])
         assert ref[r][3] == got[r][3]
         assert ref[r][4] == got[r][4]
+
+
+def test_run_blocked_procs_raises_on_rank_failure():
+    """A rank failure must raise in the parent, not hang: the parent
+    closes its pipe-end copies so a dead child's result recv sees EOF,
+    and peers blocked in collectives EOF in turn (review finding r4)."""
+    from sparsh_amg_tpu.setup.comm import run_blocked_procs
+
+    def fn(rank, comm):
+        if rank == 1:
+            raise ValueError("boom on rank 1")
+        comm.allgather(rank)               # peers unblock via pipe EOF
+        return rank
+
+    with pytest.raises(RuntimeError, match="failed"):
+        run_blocked_procs(fn, 3)

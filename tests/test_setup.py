@@ -454,4 +454,4 @@ def test_galerkin_wide_dup_two_pass_matches_scipy():
     ref = (P.T @ A @ P).tocsr()
     ref.eliminate_zeros()
     d = abs(Ac - ref)
-    assert d.max() if d.nnz else 0.0 <= 1e-8 * max(1.0, abs(ref).max())
+    assert (d.max() if d.nnz else 0.0) <= 1e-8 * max(1.0, abs(ref).max())
