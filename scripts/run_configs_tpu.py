@@ -59,6 +59,12 @@ def configs(scale: int = 1):
            AMGParams(coarsening="aggregation", interpolation="smoothed",
                      cycle="W", smoother="l1jacobi"),
            KrylovParams(method="bicgstab", tol=1e-8, maxiter=400))
+    yield (f"aniso2d_{m2}_pmis_extpi_W_gs2_bicgstab",
+           lambda: (anisotropic2d(m2, epsilon=1e-3, angle_deg=45), None),
+           AMGParams(coarsening="pmis", interpolation="extpi",
+                     interp_max=4, cycle="W", smoother="gs2",
+                     rap_drop_tol=0.01),
+           KrylovParams(method="bicgstab", tol=1e-8, maxiter=400))
     yield (f"elasticity2d_{me}_rbm_sa_V_cg",
            lambda: (elasticity2d(me), elasticity2d_nullspace(me)),
            AMGParams(coarsening="aggregation", interpolation="smoothed",
