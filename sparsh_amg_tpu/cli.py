@@ -24,7 +24,8 @@ def build_argparser() -> argparse.ArgumentParser:
                                 description=__doc__)
     p.add_argument("--problem", default="poisson2d",
                    help="poisson2d|poisson3d|anisotropic|elasticity|"
-                        "elasticity3d|jump|convection|convection3d or a path to a "
+                        "elasticity3d|jump|convection|convection3d|anisotropic3d or "
+                        "a path to a "
                         "MatrixMarket .mtx file")
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--rhs", default=None, metavar="PATH",

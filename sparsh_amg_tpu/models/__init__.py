@@ -7,7 +7,7 @@ SuiteSparse matrices.  These generators build the same systems host-side with
 scipy Kronecker products.
 """
 from .poisson import poisson2d, poisson3d
-from .anisotropic import anisotropic2d
+from .anisotropic import anisotropic2d, anisotropic3d
 from .convection import convection2d, convection3d
 from .jump import jump2d
 from .elasticity import (elasticity2d, elasticity2d_nullspace,
@@ -18,6 +18,7 @@ __all__ = [
     "poisson2d",
     "poisson3d",
     "anisotropic2d",
+    "anisotropic3d",
     "convection2d",
     "convection3d",
     "jump2d",

@@ -51,3 +51,52 @@ def anisotropic2d(nx: int, ny: int | None = None, epsilon: float = 1e-3,
     A.sum_duplicates()
     A.eliminate_zeros()
     return A
+
+
+def anisotropic3d(nx: int, ny: int | None = None, nz: int | None = None,
+                  eps_y: float = 1e-3, eps_z: float = 1e-3,
+                  angle_deg: float = 0.0,
+                  dtype=np.float64) -> sp.csr_matrix:
+    """3-D anisotropic diffusion: K = R_z(angle)^T diag(1, eps_y, eps_z)
+    R_z(angle) (rotation in the x-y plane; z stays an axis), standard
+    second-order FD — 7-point when angle=0, 11-point with the x-y
+    cross-term otherwise.  The 3-D extension of the config[2] stressor:
+    strong coupling along one (possibly rotated) line per plane, the
+    semicoarsening-vs-point-smoother regime."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    a = c * c + eps_y * s * s           # u_xx
+    b = eps_y * c * c + s * s           # u_yy
+    d = (1.0 - eps_y) * c * s           # u_xy
+    e = eps_z                           # u_zz
+    stencil = {
+        (0, 0, 0): 2 * a + 2 * b + 2 * e,
+        (-1, 0, 0): -a, (1, 0, 0): -a,
+        (0, -1, 0): -b, (0, 1, 0): -b,
+        (0, 0, -1): -e, (0, 0, 1): -e,
+    }
+    if d != 0.0:
+        stencil.update({(-1, -1, 0): -d / 2, (1, 1, 0): -d / 2,
+                        (-1, 1, 0): d / 2, (1, -1, 0): d / 2})
+    n = nx * ny * nz
+    ix, iy, iz = np.arange(nx), np.arange(ny), np.arange(nz)
+    IZ, IY, IX = np.meshgrid(iz, iy, ix, indexing="ij")
+    IXf, IYf, IZf = IX.ravel(), IY.ravel(), IZ.ravel()
+    idx = (IZf * ny + IYf) * nx + IXf
+    rows, cols, vals = [], [], []
+    for (dx, dy, dz), v in stencil.items():
+        if v == 0.0:
+            continue
+        jx, jy, jz = IXf + dx, IYf + dy, IZf + dz
+        m = ((jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+             & (jz >= 0) & (jz < nz))
+        rows.append(idx[m])
+        cols.append((jz[m] * ny + jy[m]) * nx + jx[m])
+        vals.append(np.full(int(m.sum()), v, dtype=dtype))
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    return A

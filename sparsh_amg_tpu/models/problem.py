@@ -79,6 +79,13 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         nx = int(round((n or 1_000_000) ** 0.5))
         A = convection2d(nx, **kw)
         meta = {"nx": nx, "epsilon": kw.get("epsilon", 1e-2)}
+    elif name == "anisotropic3d":
+        from .anisotropic import anisotropic3d
+        nx = int(round((n or 1_000_000) ** (1.0 / 3.0)))
+        A = anisotropic3d(nx, **kw)
+        meta = {"nx": nx, "grid": (nx, nx, nx),
+                "eps_y": kw.get("eps_y", 1e-3),
+                "eps_z": kw.get("eps_z", 1e-3)}
     elif name == "convection3d":
         from .convection import convection3d
         nx = int(round((n or 1_000_000) ** (1.0 / 3.0)))

@@ -163,3 +163,19 @@ def test_convection3d_upwind_m_matrix():
     rs = np.asarray(A.sum(axis=1)).ravel()
     interior = np.flatnonzero(np.abs(rs) < 1e-9)
     assert interior.size > 0.3 * n
+
+
+def test_anisotropic3d_structure():
+    """3-D rotated-anisotropy operator: symmetric, positive diagonal,
+    11-point with rotation / 7-point axis-aligned, interior row sums ~0."""
+    from sparsh_amg_tpu.models.anisotropic import anisotropic3d
+    A = anisotropic3d(8, eps_y=1e-3, eps_z=1e-3, angle_deg=45).tocsr()
+    assert A.shape == (512, 512)
+    assert abs(A - A.T).max() < 1e-12
+    assert (A.diagonal() > 0).all()
+    K = int(np.diff(A.indptr).max())
+    assert K == 11
+    A0 = anisotropic3d(8, angle_deg=0.0).tocsr()
+    assert int(np.diff(A0.indptr).max()) == 7
+    rs = np.asarray(A.sum(axis=1)).ravel()
+    assert (np.abs(rs) < 1e-9).sum() > 0.2 * A.shape[0]

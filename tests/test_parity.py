@@ -19,6 +19,7 @@ import pytest
 from sparsh_amg_tpu.models import (poisson2d, poisson3d, anisotropic2d,
                                    elasticity2d, convection2d)
 from sparsh_amg_tpu.models.convection import convection3d as _convection3d
+from sparsh_amg_tpu.models.anisotropic import anisotropic3d as _anisotropic3d
 from sparsh_amg_tpu.models.elasticity import (
     elasticity2d_nullspace as _elas_ns, elasticity3d as _elas3d,
     elasticity3d_nullspace as _elas3d_ns)
@@ -56,6 +57,13 @@ PARITY_TABLE = [
     # 3-D CDR (round 4): 7-point upwind, PMIS+ext+i with RAP filtering
     # keeps opC ~2.5 grid-independent (classical RS blew up to 9.3 at
     # m=24); 9/10/9 iters at m=16/24/32
+    # 3-D rotated anisotropy (round 4): eps_y=eps_z=1e-3, rotation in
+    # the x-y plane; PMIS+ext+i + Chebyshev V, 13/16/19 at m=16/24/32
+    ("anisotropic3d_24_pmis_extpi_V_cg",
+     lambda: _anisotropic3d(24, eps_y=1e-3, eps_z=1e-3, angle_deg=45),
+     AMGParams(coarsening="pmis", interpolation="extpi", interp_max=4,
+               rap_drop_tol=0.01, smoother="chebyshev"),
+     KrylovParams(maxiter=400), 16),
     ("convection3d_24_pmis_extpi_V_bicgstab",
      lambda: _convection3d(24),
      AMGParams(smoother="gs2", coarsening="pmis", interpolation="extpi",
