@@ -55,18 +55,24 @@ def anisotropic2d(nx: int, ny: int | None = None, epsilon: float = 1e-3,
 
 def anisotropic3d(nx: int, ny: int | None = None, nz: int | None = None,
                   eps_y: float = 1e-3, eps_z: float = 1e-3,
-                  angle_deg: float = 0.0,
+                  angle_deg: float = 45.0,
                   dtype=np.float64) -> sp.csr_matrix:
     """3-D anisotropic diffusion: K = R_z(angle)^T diag(1, eps_y, eps_z)
     R_z(angle) (rotation in the x-y plane; z stays an axis), standard
-    second-order FD — 7-point when angle=0, 11-point with the x-y
-    cross-term otherwise.  The 3-D extension of the config[2] stressor:
-    strong coupling along one (possibly rotated) line per plane, the
-    semicoarsening-vs-point-smoother regime."""
+    second-order FD — 7-point when the rotation is axis-aligned,
+    11-point with the x-y cross-term otherwise.  Default angle 45° (the
+    rotated stressor, matching anisotropic2d — an unrotated default
+    would make the CLI/get_problem surface silently build the much
+    easier axis-aligned operator)."""
+    from ._stencil import stencil_to_csr_3d
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     th = np.deg2rad(angle_deg)
     c, s = np.cos(th), np.sin(th)
+    # snap axis-aligned rotations exactly: cos(pi/2) is ~6e-17, which
+    # would otherwise emit four spurious ~1e-17 cross-term bands
+    c = 0.0 if abs(c) < 1e-14 else c
+    s = 0.0 if abs(s) < 1e-14 else s
     a = c * c + eps_y * s * s           # u_xx
     b = eps_y * c * c + s * s           # u_yy
     d = (1.0 - eps_y) * c * s           # u_xy
@@ -80,23 +86,4 @@ def anisotropic3d(nx: int, ny: int | None = None, nz: int | None = None,
     if d != 0.0:
         stencil.update({(-1, -1, 0): -d / 2, (1, 1, 0): -d / 2,
                         (-1, 1, 0): d / 2, (1, -1, 0): d / 2})
-    n = nx * ny * nz
-    ix, iy, iz = np.arange(nx), np.arange(ny), np.arange(nz)
-    IZ, IY, IX = np.meshgrid(iz, iy, ix, indexing="ij")
-    IXf, IYf, IZf = IX.ravel(), IY.ravel(), IZ.ravel()
-    idx = (IZf * ny + IYf) * nx + IXf
-    rows, cols, vals = [], [], []
-    for (dx, dy, dz), v in stencil.items():
-        if v == 0.0:
-            continue
-        jx, jy, jz = IXf + dx, IYf + dy, IZf + dz
-        m = ((jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
-             & (jz >= 0) & (jz < nz))
-        rows.append(idx[m])
-        cols.append((jz[m] * ny + jy[m]) * nx + jx[m])
-        vals.append(np.full(int(m.sum()), v, dtype=dtype))
-    A = sp.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(n, n)).tocsr()
-    A.sum_duplicates()
-    return A
+    return stencil_to_csr_3d(nx, ny, nz, stencil, dtype)

@@ -85,22 +85,5 @@ def convection3d(nx: int, ny: int | None = None, nz: int | None = None,
         (0, -1, 0): -cd + cym, (0, 1, 0): -cd + cyp,
         (0, 0, -1): -cd + czm, (0, 0, 1): -cd + czp,
     }
-    ix, iy, iz = np.arange(nx), np.arange(ny), np.arange(nz)
-    IZ, IY, IX = np.meshgrid(iz, iy, ix, indexing="ij")
-    IXf, IYf, IZf = IX.ravel(), IY.ravel(), IZ.ravel()
-    idx = (IZf * ny + IYf) * nx + IXf
-    rows, cols, vals = [], [], []
-    for (dx, dy, dz), v in stencil.items():
-        if v == 0.0:
-            continue
-        jx, jy, jz = IXf + dx, IYf + dy, IZf + dz
-        m = ((jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
-             & (jz >= 0) & (jz < nz))
-        rows.append(idx[m])
-        cols.append((jz[m] * ny + jy[m]) * nx + jx[m])
-        vals.append(np.full(int(m.sum()), v, dtype=dtype))
-    A = sp.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(n, n)).tocsr()
-    A.sum_duplicates()
-    return A
+    from ._stencil import stencil_to_csr_3d
+    return stencil_to_csr_3d(nx, ny, nz, stencil, dtype)

@@ -85,7 +85,8 @@ def get_problem(name: str, n: int | None = None, rhs: str = "random",
         A = anisotropic3d(nx, **kw)
         meta = {"nx": nx, "grid": (nx, nx, nx),
                 "eps_y": kw.get("eps_y", 1e-3),
-                "eps_z": kw.get("eps_z", 1e-3)}
+                "eps_z": kw.get("eps_z", 1e-3),
+                "angle_deg": kw.get("angle_deg", 45.0)}
     elif name == "convection3d":
         from .convection import convection3d
         nx = int(round((n or 1_000_000) ** (1.0 / 3.0)))

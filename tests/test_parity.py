@@ -54,9 +54,6 @@ PARITY_TABLE = [
      KrylovParams(method="bicgstab"), 20),
     ("convection2d_48_gs2_V_bicgstab", lambda: convection2d(48),
      AMGParams(smoother="gs2"), KrylovParams(method="bicgstab"), 12),
-    # 3-D CDR (round 4): 7-point upwind, PMIS+ext+i with RAP filtering
-    # keeps opC ~2.5 grid-independent (classical RS blew up to 9.3 at
-    # m=24); 9/10/9 iters at m=16/24/32
     # 3-D rotated anisotropy (round 4): eps_y=eps_z=1e-3, rotation in
     # the x-y plane; PMIS+ext+i + Chebyshev V, 13/16/19 at m=16/24/32
     ("anisotropic3d_24_pmis_extpi_V_cg",
@@ -64,6 +61,9 @@ PARITY_TABLE = [
      AMGParams(coarsening="pmis", interpolation="extpi", interp_max=4,
                rap_drop_tol=0.01, smoother="chebyshev"),
      KrylovParams(maxiter=400), 16),
+    # 3-D CDR (round 4): 7-point upwind, PMIS+ext+i with RAP filtering
+    # keeps opC ~2.5 grid-independent (classical RS blew up to 9.3 at
+    # m=24); 9/10/9 iters at m=16/24/32
     ("convection3d_24_pmis_extpi_V_bicgstab",
      lambda: _convection3d(24),
      AMGParams(smoother="gs2", coarsening="pmis", interpolation="extpi",
