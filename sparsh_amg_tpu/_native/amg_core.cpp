@@ -12,6 +12,8 @@
 //
 // Build: g++ -O3 -fopenmp -shared -fPIC amg_core.cpp -o amg_core.so
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -580,6 +582,15 @@ void pmis_round_fassign(int64_t nf, const int32_t* frontier,
 // key domains there are tiny: rank owners <= 64, coarse-local rows).
 void stable_counting_order(int64_t n, const int64_t* keys, int64_t nkeys,
                            int64_t* order) {
+  // Precondition: every key in [0, nkeys).  These are exported C symbols
+  // with indexed writes — fail loudly instead of corrupting the heap.
+  for (int64_t i = 0; i < n; ++i)
+    if (keys[i] < 0 || keys[i] >= nkeys) {
+      std::fprintf(stderr,
+                   "stable_counting_order: key %lld out of [0, %lld)\n",
+                   (long long)keys[i], (long long)nkeys);
+      std::abort();
+    }
   std::vector<int64_t> offs(nkeys + 1, 0);
   for (int64_t i = 0; i < n; ++i) ++offs[keys[i] + 1];
   for (int64_t k = 0; k < nkeys; ++k) offs[k + 1] += offs[k];
@@ -592,6 +603,12 @@ void stable_counting_order(int64_t n, const int64_t* keys, int64_t nkeys,
 void coo_to_csr_pattern(int64_t nr, int64_t nnz, const int64_t* rows,
                         const int64_t* cols, int64_t* indptr,
                         int32_t* out_cols) {
+  for (int64_t k = 0; k < nnz; ++k)
+    if (rows[k] < 0 || rows[k] >= nr) {
+      std::fprintf(stderr, "coo_to_csr_pattern: row %lld out of [0, %lld)\n",
+                   (long long)rows[k], (long long)nr);
+      std::abort();
+    }
   for (int64_t k = 0; k < nnz; ++k) ++indptr[rows[k] + 1];
   for (int64_t i = 0; i < nr; ++i) indptr[i + 1] += indptr[i];
   std::vector<int64_t> cur(indptr, indptr + nr);

@@ -430,7 +430,7 @@ def _positions_sel(wb: np.ndarray, keys: np.ndarray,
 def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
                 k_cap: int | None = None, n_pad: int | None = None,
                 tr_force: int | None = None, s_force: int | None = None,
-                k_force: int | None = None):
+                k_force: int | None = None, as_numpy: bool = False):
     """Pack a host CSR matrix into the GELL stream layout.
 
     Picks the smallest tile height TR in {16,32,64,128} whose window
@@ -466,18 +466,25 @@ def csr_to_gell(A: sp.csr_matrix, dtype=jnp.float32, s_max: int = 64,
         if lib is not None:
             return _pack_native(lib, A, n, m, K, src_pad, wmode, dtype,
                                 s_max, n_pad, tr_force=tr_force,
-                                s_force=s_force, k_force=k_force)
+                                s_force=s_force, k_force=k_force,
+                                as_numpy=as_numpy)
     return _pack_numpy(A, n, m, K, src_pad, wmode, dtype, s_max, n_pad,
-                       tr_force=tr_force, s_force=s_force, k_force=k_force)
+                       tr_force=tr_force, s_force=s_force, k_force=k_force,
+                       as_numpy=as_numpy)
 
 
 def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
-                 TR, n_tiles, wmode, src_pad, n_pad):
+                 TR, n_tiles, wmode, src_pad, n_pad, as_numpy=False):
     """Common tail: pack window words, host-convert vals, build the pytree.
 
     vals conversion happens HERE on host (ml_dtypes) — converting after
     jnp.asarray uploads fp32 and converts on device, doubling the largest
-    H2D transfer of setup."""
+    H2D transfer of setup.
+
+    as_numpy keeps the tables as host numpy: the distributed stackers
+    pack up to four TR candidates per block and only stack/upload the
+    chosen one — the per-candidate device_put + np.asarray round-trip
+    through the JAX CPU runtime was ~2/3 of the blocked freeze time."""
     if vals_np.dtype != np.dtype(dtype):
         import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
         vals_np = vals_np.astype(dtype)
@@ -492,6 +499,8 @@ def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
     else:
         wwords = windows.astype(np.int32)
     LANE_ = LANE
+    conv = (lambda a, dtype=None: np.asarray(a, dtype=dtype)) if as_numpy \
+        else jnp.asarray
     packed = packed.reshape(n_tiles, TR, LANE_)
     if S <= 64:
         # sel<<10|q<<7|lane < 65536 when S <= 64: STORE uint16 on device
@@ -499,20 +508,21 @@ def _finish_gell(windows, counts, packed, vals_np, dtype, n, m, K, S, W,
         # largest arrays of the whole hierarchy (526 MB of the 1.24 GB
         # footprint at 192^3, round-3 audit) and the kernel zero-extends
         # per tile at no measurable cost
-        packed_dev = jnp.asarray(packed.astype(np.uint16))
+        packed_dev = conv(packed.astype(np.uint16))
     else:
-        packed_dev = jnp.asarray(packed, dtype=jnp.int32)
+        packed_dev = conv(packed, dtype=np.int32)
     return GellMatrix(
-        wwords=jnp.asarray(wwords, dtype=jnp.int32),
-        counts=jnp.asarray(counts, dtype=jnp.int32),
+        wwords=conv(wwords, dtype=np.int32),
+        counts=conv(counts, dtype=np.int32),
         packed=packed_dev,
-        vals=jnp.asarray(vals_np.reshape(n_tiles, TR, LANE_)),
+        vals=conv(vals_np.reshape(n_tiles, TR, LANE_)),
         n_rows=n, n_cols=m, k=K, s=S, tr=TR, wmode=wmode,
         src_pad=src_pad, n_pad=n_pad)
 
 
 def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
-                 s_max, n_pad, tr_force=None, s_force=None, k_force=None):
+                 s_max, n_pad, tr_force=None, s_force=None, k_force=None,
+                 as_numpy=False):
     """OpenMP packer (amg_core.cpp gell_windows/gell_fill*): tile-parallel
     window discovery + table fill; ~10x the numpy packer at 192^3.
 
@@ -580,11 +590,13 @@ def _pack_native(lib, A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype,
         lib.gell_fill(n, K, tile, n_tiles, S, indptr, indices, data,
                       windows, counts, packed, vals)
     return _finish_gell(windows, counts, packed, vals, dtype, n, m, K, S,
-                        W, TR, n_tiles, wmode, src_pad, n_pad)
+                        W, TR, n_tiles, wmode, src_pad, n_pad,
+                        as_numpy=as_numpy)
 
 
 def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
-                n_pad, tr_force=None, s_force=None, k_force=None):
+                n_pad, tr_force=None, s_force=None, k_force=None,
+                as_numpy=False):
     """Vectorized-numpy packer: the native path's oracle (and the
     no-toolchain fallback).
 
@@ -676,7 +688,7 @@ def _pack_numpy(A: sp.csr_matrix, n, m, K, src_pad, wmode, dtype, s_max,
     return _finish_gell(windows.astype(np.int32),
                         counts.astype(np.int32), packed,
                         val.reshape(-1), dtype, n, m, K, S, W, TR,
-                        n_tiles, wmode, src_pad, n_pad)
+                        n_tiles, wmode, src_pad, n_pad, as_numpy=as_numpy)
 
 
 # ---------------------------------------------------------------------------
@@ -1000,9 +1012,12 @@ def csr_to_gell_stacked(blocks, dtype=jnp.float32, s_max: int = 64,
     if K > max(8, int(4 * max(nnz_avg, 1))) or K > 16 * LANE:
         return None
     chosen = fallback = None
+    # candidates stay host numpy; the caller's jnp.stack over the chosen
+    # pack is the single host->device conversion
     for TR in (16, 64, 128, 32):
         Gs = [csr_to_gell(B, dtype=dtype, s_max=s_max, n_pad=n_pad,
-                          tr_force=TR, k_force=K) for B in blocks]
+                          tr_force=TR, k_force=K, as_numpy=True)
+              for B in blocks]
         if any(G is None for G in Gs):
             if TR == 16:
                 return None       # s_max policy gate (matches csr_to_gell)
@@ -1028,7 +1043,8 @@ def csr_to_gell_stacked(blocks, dtype=jnp.float32, s_max: int = 64,
     for B, G in zip(blocks, Gs):
         if G.s != S:
             G = csr_to_gell(B, dtype=dtype, s_max=s_max, n_pad=n_pad,
-                            tr_force=TR, s_force=S, k_force=K)
+                            tr_force=TR, s_force=S, k_force=K,
+                            as_numpy=True)
             if G is None:
                 return None
         out.append(G)

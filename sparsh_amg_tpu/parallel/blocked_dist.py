@@ -296,9 +296,11 @@ def _gell_rows_stacked(A_own, ext, s_idx, r_loc, d0, dpp, nl_d, nl_s, nd,
 
     chosen = fallback = None
     packs = {}
+    # candidates stay host numpy (ops/gell._finish_gell as_numpy): the
+    # final stk is the only host->device conversion
     for TR in (16, 64, 128, 32):
         Gs = [csr_to_gell(B, dtype=dtype, n_pad=nl_d, tr_force=TR,
-                          k_force=K) for B in blocks]
+                          k_force=K, as_numpy=True) for B in blocks]
         any_none = any(G is None for G in Gs)
         s_loc = max((G.s for G in Gs if G is not None), default=0)
         # rank-0 leads the wmode/n_tiles read (the global packer reads
@@ -332,7 +334,7 @@ def _gell_rows_stacked(A_own, ext, s_idx, r_loc, d0, dpp, nl_d, nl_s, nd,
     for B, G in zip(blocks, packs[TR]):
         if G.s != S:
             G = csr_to_gell(B, dtype=dtype, n_pad=nl_d, tr_force=TR,
-                            s_force=S, k_force=K)
+                            s_force=S, k_force=K, as_numpy=True)
             if G is None:
                 return None
         out.append(G)

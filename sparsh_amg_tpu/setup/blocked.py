@@ -931,9 +931,16 @@ def blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
     A_loc.has_sorted_indices = True
     lib = get_lib()
     PT = P_own.T.tocsr()                           # (n_c, nloc) — local nnz
-    dup = P_ext.nnz / max(ne, 1)
+    # Gate on GLOBAL quantities (one batched allreduce) so every rank —
+    # and the global galerkin_product on the same problem (dup =
+    # R.nnz/n_fine, size = A.nnz + P.nnz) — picks the same branch
+    # deterministically (ADVICE r4: per-rank local gates let ranks
+    # diverge in summation order near the thresholds).
+    g = comm.allreduce_sum(np.array([A_own.nnz, P_own.nnz], dtype=_I64))
+    n_fine = int(bounds[-1])
+    dup = int(g[1]) / max(n_fine, 1)
     if (lib is not None and dup <= 8.0
-            and A_own.nnz + P_ext.nnz >= _FUSED_MIN_NNZ
+            and int(g[0]) + int(g[1]) >= _FUSED_MIN_NNZ
             and not os.environ.get("SPARSH_NO_FUSED_RAP")):
         # fused local triple product PT A_loc P_ext — no W intermediate
         # (the same economics as the global galerkin_product: dup-gated,
@@ -989,7 +996,11 @@ def blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
         acc = sp.csr_matrix((nc_loc, n_c))
     acc.sum_duplicates()
     acc.eliminate_zeros()
-    if drop_tol > 0.0 and acc.nnz:
+    # gate COLLECTIVELY: _filter_block fetches ghost diagonals, so a rank
+    # whose coarse block is empty (partition_bounds rounding can leave
+    # trailing ranks with zero rows) must still enter the exchange — a
+    # local acc.nnz gate desynchronizes the collective sequence
+    if drop_tol > 0.0 and int(comm.allreduce_sum(int(acc.nnz))):
         acc = _filter_block(acc, c0, bounds_c, comm, drop_tol)
     return acc
 

@@ -172,42 +172,48 @@ class PipeComm(BlockComm):
         self.size = size
         self._conns = conns                 # peer rank -> Connection
 
-    def allgather(self, obj):
-        if self.size == 1:
-            return [obj]
+    def _exchange(self, mine, payload_of):
+        """Common send-thread/recv-loop body.  If a recv raises (EOFError
+        from a dead peer) the connections are closed before re-raising so
+        the background sender unblocks with BrokenPipeError instead of
+        staying parked in Connection.send forever, and the thread is
+        joined (ADVICE r4: no abandoned sender threads)."""
         peers = [p for p in range(self.size) if p != self.rank]
 
         def send_all():
-            for p in peers:
-                self._conns[p].send(obj)
+            try:
+                for p in peers:
+                    self._conns[p].send(payload_of(p))
+            except (BrokenPipeError, OSError):
+                pass                        # peer died; recv side raises
 
         t = threading.Thread(target=send_all)
         t.start()
         out = [None] * self.size
-        out[self.rank] = obj
-        for p in peers:
-            out[p] = self._conns[p].recv()
+        out[self.rank] = mine
+        try:
+            for p in peers:
+                out[p] = self._conns[p].recv()
+        except BaseException:
+            for p in peers:
+                self._conns[p].close()
+            t.join()
+            raise
         t.join()
         return out
+
+    def allgather(self, obj):
+        if self.size == 1:
+            return [obj]
+        return self._exchange(obj, lambda p: obj)
 
     def alltoall(self, parts: list) -> list:
         # point-to-point: rank d receives only parts[d] (the allgather
         # fallback would ship every rank's full send list to everyone)
         assert len(parts) == self.size
-        peers = [p for p in range(self.size) if p != self.rank]
-
-        def send_all():
-            for p in peers:
-                self._conns[p].send(parts[p])
-
-        t = threading.Thread(target=send_all)
-        t.start()
-        out = [None] * self.size
-        out[self.rank] = parts[self.rank]
-        for p in peers:
-            out[p] = self._conns[p].recv()
-        t.join()
-        return out
+        if self.size == 1:
+            return [parts[0]]
+        return self._exchange(parts[self.rank], lambda p: parts[p])
 
 
 def run_blocked_procs(fn, n_blocks: int, omp_threads: int | None = None):
@@ -255,6 +261,17 @@ def run_blocked_procs(fn, n_blocks: int, omp_threads: int | None = None):
             lib = get_lib()
             if lib is not None:
                 lib.set_omp_threads(int(omp_threads))
+            try:
+                # OpenBLAS (scipy LAPACK: the tail's dense coarse
+                # inverse) spawns a SPIN-WAITING pthread pool per child;
+                # n_blocks children x 4 spinning threads on 4 cores made
+                # identical tail freezes vary 10-140 s.  The pool is
+                # inherited pre-sized through fork, so the env vars are
+                # too late — resize it through threadpoolctl.
+                import threadpoolctl
+                threadpoolctl.threadpool_limits(int(omp_threads))
+            except Exception:
+                pass
         try:
             out = fn(rank, PipeComm(rank, n_blocks, conns))
         except BaseException as e:          # noqa: BLE001 — re-raised in
