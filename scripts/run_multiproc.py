@@ -1,23 +1,26 @@
 #!/usr/bin/env python
-"""96^3 process-local multi-process artifact run (VERDICT r3 'next' #1).
+"""Process-local multi-process artifact run (VERDICT r3 'next' #1;
+r4 'next' #3 adds the elasticity3d RBM-SA row).
 
-Runs the full distributed AMG-PCG solve across N federated CPU processes
-(jax.distributed + gloo, real process boundaries) in PROCESS-LOCAL mode:
-every worker assembles only its row block of the generator, coarsens
-through the blocked per-host setup (setup/blocked.py) with boundary
-exchanges, freezes and uploads only its addressable device shards
-(parallel/blocked_dist.py), and returns its rank-local solution rows —
-no process ever materializes the global matrix or hierarchy.  The
-identical program runs single-process over the same total device count
-as the reference; the artifact asserts
+Runs the full distributed AMG-Krylov solve across N federated CPU
+processes (jax.distributed + gloo, real process boundaries) in
+PROCESS-LOCAL mode: every worker assembles only its row block of the
+generator, coarsens through the blocked per-host setup (setup/blocked.py
+classical PMIS, setup/blocked_sa.py smoothed aggregation with the
+rank-routed nullspace QR), freezes and uploads only its addressable
+device shards (parallel/blocked_dist.py), and returns its rank-local
+solution rows — no process ever materializes the global matrix or
+hierarchy.  The identical program runs single-process over the same
+total device count as the reference; per problem the artifact asserts
 
   * iterations match within +-1 (blocked RAP sums rank contributions in
     a different order),
   * every worker's local rows equal the reference solution's rows,
   * no worker held the global fine matrix (holds_global_fine=False),
-  * per-worker local nnz ~ global_nnz / P (+ the tiny replicated tail).
+  * per-worker local fine nnz ~ global_nnz / P.
 
-Usage: python scripts/run_multiproc.py [--n 96] [--procs 4]
+Usage: python scripts/run_multiproc.py [--n 96] [--elas-n 40]
+       [--procs 4] [--problems poisson3d,elasticity3d]
 """
 import argparse
 import json
@@ -33,43 +36,48 @@ jax.config.update("jax_num_cpu_devices", 4)
 
 import numpy as np
 
-from sparsh_amg_tpu.models.poisson import poisson3d
 from sparsh_amg_tpu.params import KrylovParams
 from sparsh_amg_tpu.parallel.multihost import (launch_processes,
-                                               _flagship_params)
+                                               _flagship_params,
+                                               _elasticity_sa_params)
 from sparsh_amg_tpu.parallel.solver import DistAMGSolver, default_mesh
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=96)
-    ap.add_argument("--procs", type=int, default=4)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "MULTIPROC_r4.json"))
-    args = ap.parse_args()
-
-    params = _flagship_params()
+def run_problem(problem: str, m: int, procs: int) -> dict:
+    if problem == "poisson3d":
+        from sparsh_amg_tpu.models.poisson import poisson3d
+        A = poisson3d(m)
+        ns = None
+        params = _flagship_params()
+        maxiter = 60
+    else:
+        from sparsh_amg_tpu.models.elasticity import (
+            elasticity3d, elasticity3d_nullspace)
+        A = elasticity3d(m)
+        ns = elasticity3d_nullspace(m)
+        params = _elasticity_sa_params()
+        maxiter = 200
+    global_nnz = int(A.nnz)
 
     # single-process reference over the same total device count
-    A = poisson3d(args.n)
-    global_nnz = int(A.nnz)
     solver = DistAMGSolver(A, mesh=default_mesh(4), params=params,
-                           krylov=KrylovParams(tol=1e-8, maxiter=60))
+                           krylov=KrylovParams(tol=1e-8, maxiter=maxiter),
+                           nullspace=ns)
     rng = np.random.default_rng(0)
     b = rng.standard_normal(A.shape[0])
     t0 = time.perf_counter()
     ref = solver.solve(b)
     t_ref = time.perf_counter() - t0
     x_ref = ref.x
-    print(f"single-process (4 devices): iters={ref.iterations} "
+    print(f"{problem} single-process (4 devices): iters={ref.iterations} "
           f"relres={ref.relres:.2e} solve={t_ref:.1f}s "
           f"setup={solver.setup_time:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    results = launch_processes(args.procs, n=args.n,
-                               devices_per_process=4 // args.procs,
-                               setup="blocked", timeout=3600.0)
+    results = launch_processes(procs, n=m,
+                               devices_per_process=4 // procs,
+                               setup="blocked", timeout=3600.0,
+                               problem=problem)
     t_mp = time.perf_counter() - t0
 
     checks = {"converged": True, "iters_within_1": True,
@@ -87,20 +95,20 @@ def main():
         checks["no_global_fine"] &= not r["holds_global_fine"]
         checks["x_blocks_match"] &= bool(np.allclose(
             r["x_head"], x_ref[r0:r0 + 8], rtol=1e-6, atol=1e-8))
-        # owned fine rows are exactly the block; total per-rank fine nnz
-        # is 1/P of global (+ boundary-free: rows are disjoint)
+        # owned fine rows are a contiguous block: per-rank fine nnz is
+        # ~1/P of global (uneven trailing blocks may hold less)
         checks["local_nnz_bounded"] &= \
-            r["local_nnz"] <= global_nnz // args.procs + 7 * 96 * 96
+            r["local_nnz"] <= int(1.35 * global_nnz / procs)
     checks["rows_tile_domain"] &= (hi == results[0]["n"])
     ok = all(checks.values())
-
-    out = {
+    return {
         "n": int(A.shape[0]),
-        "grid": args.n,
+        "grid": m,
         "global_nnz": global_nnz,
-        "num_processes": args.procs,
-        "devices_per_process": 4 // args.procs,
+        "num_processes": procs,
+        "devices_per_process": 4 // procs,
         "setup": "blocked (process-local)",
+        "coarsening": params.coarsening,
         "single_process": {"iterations": ref.iterations,
                            "relres": ref.relres,
                            "converged": bool(ref.converged),
@@ -111,11 +119,31 @@ def main():
         "wall_s_multiprocess": t_mp,
         "ok": ok,
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=96)
+    ap.add_argument("--elas-n", type=int, default=40)
+    ap.add_argument("--procs", type=int, default=4)
+    ap.add_argument("--problems", default="poisson3d,elasticity3d")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "MULTIPROC_r5.json"))
+    args = ap.parse_args()
+
+    out = {"procs": args.procs, "problems": {}}
+    for problem in args.problems.split(","):
+        m = args.elas_n if problem == "elasticity3d" else args.n
+        out["problems"][problem] = run_problem(problem, m, args.procs)
+    out["ok"] = all(p["ok"] for p in out["problems"].values())
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"n": out["n"], "procs": args.procs,
-                      "checks": checks, "ok": ok}))
-    if not ok:
+    print(json.dumps({p: {"iters_1proc":
+                          v["single_process"]["iterations"],
+                          "checks": v["checks"], "ok": v["ok"]}
+                      for p, v in out["problems"].items()}))
+    if not out["ok"]:
         sys.exit(1)
 
 

@@ -197,6 +197,104 @@ def elasticity3d(nx: int, ny: int | None = None, nz: int | None = None,
     return A
 
 
+def elasticity3d_rows(nx: int, r0: int, r1: int, ny: int | None = None,
+                      nz: int | None = None, E: float = 1e5,
+                      nu: float = 0.3) -> sp.csr_matrix:
+    """Rows [r0, r1) of :func:`elasticity3d` (free-dof numbering) as an
+    (r1-r0, n_free) CSR with GLOBAL reduced column ids — the per-rank
+    generator for the process-local blocked SA setup (no rank assembles
+    the global system).  Bit-identical to ``elasticity3d(...)``'s row
+    slice: only elements adjacent to the owned nodes are assembled, in
+    the same ex-major element order as the full assembly, so every
+    (row, col) duplicate group sums in the same order."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    nnx, nny = nx + 1, ny + 1
+    n_nodes, clamped = _grid3d_clamped(nx, ny, nz)
+    keep = np.where(~clamped)[0]
+    n_free = keep.shape[0]
+    assert 0 <= r0 <= r1 <= n_free
+    if r1 == r0:
+        return sp.csr_matrix((0, n_free))
+    own_dofs = keep[r0:r1]
+    own_nodes = np.unique(own_dofs // 3)
+    ix = own_nodes % nnx
+    iy = (own_nodes // nnx) % nny
+    iz = own_nodes // (nnx * nny)
+    # elements touching an owned node: the <=8 cells around it
+    exs = np.stack([ix - 1, ix]).clip(0, nx - 1)
+    eys = np.stack([iy - 1, iy]).clip(0, ny - 1)
+    ezs = np.stack([iz - 1, iz]).clip(0, nz - 1)
+    cand = (exs[:, None, None, :] * ny + eys[None, :, None, :]) * nz \
+        + ezs[None, None, :, :]
+    # the full assembly ravels meshgrid(ex, ey, ez, indexing="ij"):
+    # linear element id = (ex*ny + ey)*nz + ez — sort candidates by it
+    # to preserve the duplicate-summation order
+    elems = np.unique(cand.ravel())
+    ex = elems // (ny * nz)
+    eyz = elems % (ny * nz)
+    ey = eyz // nz
+    ez = eyz % nz
+    Ke = _hex8_elasticity_element(E, nu)
+    n0 = (ez * nny + ey) * nnx + ex
+    off = np.array([0, 1, 1 + nnx, nnx,
+                    nnx * nny, 1 + nnx * nny,
+                    1 + nnx + nnx * nny, nnx + nnx * nny], dtype=np.int64)
+    nodes = n0[:, None] + off[None, :]
+    dofs = (3 * nodes[:, :, None]
+            + np.arange(3, dtype=np.int64)).reshape(-1, 24)
+    rows = np.broadcast_to(dofs[:, :, None], dofs.shape + (24,)).ravel()
+    cols = np.broadcast_to(dofs[:, None, :],
+                           (dofs.shape[0], 24, 24)).ravel()
+    vals = np.broadcast_to(Ke, (dofs.shape[0], 24, 24)).ravel()
+    # Restrict to owned ROWS only; clamped COLUMNS stay until after the
+    # duplicate summation.  scipy's per-row index sort is std::sort
+    # (unstable), so the order duplicates get summed in depends on the
+    # full row layout — each owned row must pass through tocsr /
+    # sum_duplicates / [:, keep] with EXACTLY the entries the full
+    # assembly's row had, or values drift at the 1e-11 level and
+    # cancellation zeros land differently.
+    new_row = np.full(3 * n_nodes, -1, dtype=np.int64)
+    new_row[own_dofs] = np.arange(r0, r1, dtype=np.int64)
+    rr = new_row[rows]
+    m = rr >= 0
+    A = sp.coo_matrix((vals[m], (rr[m] - r0, cols[m])),
+                      shape=(r1 - r0, 3 * n_nodes)).tocsr()
+    A = A[:, keep].tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    return A
+
+
+def elasticity3d_nullspace_rows(nx: int, r0: int, r1: int,
+                                ny: int | None = None,
+                                nz: int | None = None) -> np.ndarray:
+    """Rows [r0, r1) of :func:`elasticity3d_nullspace` computed
+    pointwise from the owned free dofs (no O(n) array)."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    nnx, nny = nx + 1, ny + 1
+    _, clamped = _grid3d_clamped(nx, ny, nz)
+    keep = np.where(~clamped)[0]
+    dofs = keep[r0:r1]
+    nodes = dofs // 3
+    comp = dofs % 3
+    x = (nodes % nnx) / nx
+    y = ((nodes // nnx) % nny) / ny
+    z = (nodes // (nnx * nny)) / nz
+    B = np.zeros((dofs.shape[0], 6))
+    B[comp == 0, 0] = 1.0
+    B[comp == 1, 1] = 1.0
+    B[comp == 2, 2] = 1.0
+    B[comp == 0, 3] = -y[comp == 0]
+    B[comp == 1, 3] = x[comp == 1]
+    B[comp == 0, 4] = z[comp == 0]
+    B[comp == 2, 4] = -x[comp == 2]
+    B[comp == 1, 5] = -z[comp == 1]
+    B[comp == 2, 5] = y[comp == 2]
+    return B
+
+
 def elasticity3d_nullspace(nx: int, ny: int | None = None,
                            nz: int | None = None) -> np.ndarray:
     """The six 3-D rigid-body modes — translations e_x/e_y/e_z and the

@@ -369,7 +369,8 @@ def blocked_to_dist(bh: BlockedHierarchy, nd: int, comm: BlockComm,
     tail = bh.tail
     assert blk, "no blocked levels (problem below the blocked threshold)"
     ns = [l.n for l in blk] + [lev.A.shape[0] for lev in tail.levels]
-    parts = [Partition.make(n, nd) for n in ns]
+    parts = [Partition.make(n, nd, pad_multiple=params.row_align or 128)
+             for n in ns]
     # the split must reproduce to_dist's replicate_size boundary: every
     # tail level replicated, every blocked level distributed
     assert all(l.n > params.replicate_size for l in blk)
@@ -485,14 +486,15 @@ def slice_to_blocked(hier, rank: int, nd: int, n_procs: int,
     params = params or hier.params
     levels = []
     li = 0
+    align = params.row_align
     while (li < hier.n_levels - 1 and hier.levels[li].P is not None
            and hier.levels[li].n > params.replicate_size):
         lev = hier.levels[li]
         n = lev.n
-        bounds = partition_bounds(n, nd, n_procs)
+        bounds = partition_bounds(n, nd, n_procs, align=align)
         r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
         nc = lev.P.shape[1]
-        bounds_c = partition_bounds(nc, nd, n_procs)
+        bounds_c = partition_bounds(nc, nd, n_procs, align=align)
         c0, c1 = int(bounds_c[rank]), int(bounds_c[rank + 1])
         levels.append(BlockedLevel(
             A=lev.A[r0:r1].tocsr(), r0=r0, r1=r1, n=n, bounds=bounds,

@@ -245,12 +245,13 @@ def to_dist(hier: Hierarchy, nd: int, params: AMGParams | None = None,
     # all-padding and contribute zeros to the collectives) — never the
     # finest level
     def mk(n, li):
-        part = Partition.make(n, nd)
+        part = Partition.make(n, nd,
+                              pad_multiple=params.row_align or 128)
         if (li > 0 and params.sub_mesh_min_rows
                 and n > params.replicate_size
                 and part.n_loc < params.sub_mesh_min_rows):
-            part = Partition(n=n, nd=nd, n_loc=_round_up_128(
-                params.sub_mesh_min_rows))
+            part = Partition(n=n, nd=nd, n_loc=_round_up_raw(
+                params.sub_mesh_min_rows, max(128, params.row_align)))
         return part
     parts = [mk(lev.A.shape[0], li) for li, lev in enumerate(hier.levels)]
     n_lv = len(hier.levels)

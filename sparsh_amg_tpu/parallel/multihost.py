@@ -122,7 +122,9 @@ def _free_port() -> int:
 def launch_processes(num_processes: int, n: int = 24,
                      devices_per_process=2,
                      timeout: float = 900.0, setup: str = "blocked",
-                     krylov_method: str = "cg") -> list[dict]:
+                     krylov_method: str = "cg",
+                     problem: str = "poisson3d",
+                     row_align: int | None = None) -> list[dict]:
     """Spawn ``num_processes`` federated CPU worker processes, each running
     the full distributed solve below; returns their result dicts.
 
@@ -160,8 +162,10 @@ def launch_processes(num_processes: int, n: int = 24,
                "--num-processes", str(num_processes),
                "--coordinator", f"localhost:{port}",
                "--devices-per-process", str(dpp[i]),
-               "--n", str(n), "--setup", setup,
+               "--n", str(n), "--setup", setup, "--problem", problem,
                "--krylov", krylov_method, "--out", outs[i]]
+        if row_align is not None:
+            cmd += ["--row-align", str(row_align)]
         procs.append(subprocess.Popen(cmd, env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT))
@@ -191,6 +195,38 @@ def _flagship_params():
                      cheby_coarse_from=1)
 
 
+def _elasticity_sa_params(row_align: int = 6144):
+    """The RBM-SA elasticity recipe (CONFIGS elasticity3d row), with the
+    node/nullspace row alignment the blocked setup requires: row blocks
+    must not split a node's 3 dofs or an aggregate's 6 coarse dofs —
+    lcm(2048, 3, 6) = 6144 also keeps the device invariant (levels pad
+    to 2048 multiples for the Pallas tiles)."""
+    from ..params import AMGParams
+    return AMGParams(coarsening="aggregation", interpolation="smoothed",
+                     smoother="chebyshev", coarse_size=200,
+                     agg_blocksize=3, p_smooth_filter=False,
+                     row_align=row_align)
+
+
+def _problem_spec(problem: str, m: int, row_align: int | None = None):
+    """(n_glob, make_rows, make_nullspace, params) for a worker."""
+    if problem == "poisson3d":
+        from ..models.poisson import poisson3d_rows
+        return (m ** 3,
+                lambda r0, r1: poisson3d_rows(m, r0, r1),
+                None, _flagship_params())
+    if problem == "elasticity3d":
+        from ..models.elasticity import (elasticity3d_rows,
+                                         elasticity3d_nullspace_rows)
+        n_glob = 3 * (m + 1) ** 2 * m       # x==0 face clamped
+        params = _elasticity_sa_params(row_align or 6144)
+        return (n_glob,
+                lambda r0, r1: elasticity3d_rows(m, r0, r1),
+                lambda r0, r1: elasticity3d_nullspace_rows(m, r0, r1),
+                params)
+    raise ValueError(f"unknown problem {problem!r}")
+
+
 def _worker_main(argv=None) -> None:
     import argparse
     import resource
@@ -202,6 +238,9 @@ def _worker_main(argv=None) -> None:
     ap.add_argument("--n", type=int, default=24)
     ap.add_argument("--setup", choices=("blocked", "global"),
                     default="blocked")
+    ap.add_argument("--problem", choices=("poisson3d", "elasticity3d"),
+                    default="poisson3d")
+    ap.add_argument("--row-align", type=int, default=None)
     ap.add_argument("--krylov", default="cg")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
@@ -217,19 +256,20 @@ def _worker_main(argv=None) -> None:
     from ..params import KrylovParams
     from .solver import DistAMGSolver
 
-    params = _flagship_params()
-    krylov = KrylovParams(method=args.krylov, tol=1e-8, maxiter=60)
-    n_glob = args.n ** 3
+    n_glob, make_rows, make_ns, params = _problem_spec(
+        args.problem, args.n, args.row_align)
+    krylov = KrylovParams(method=args.krylov, tol=1e-8,
+                          maxiter=60 if args.problem == "poisson3d"
+                          else 200)
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n_glob)      # deterministic rhs; sliced below
 
     if args.setup == "blocked":
         # PROCESS-LOCAL path: assemble only the owned row block, blocked
         # per-host setup, addressable-shard upload, rank-local result.
-        from ..models.poisson import poisson3d_rows
         solver = DistAMGSolver.from_blocked(
-            lambda r0, r1: poisson3d_rows(args.n, r0, r1), n_glob,
-            mesh=global_mesh(), params=params, krylov=krylov)
+            make_rows, n_glob, mesh=global_mesh(), params=params,
+            krylov=krylov, make_nullspace=make_ns)
         r0, r1 = solver.row_range
         b_loc = np.ascontiguousarray(b[r0:r1])
         del b                       # steady state holds only the block
@@ -250,10 +290,17 @@ def _worker_main(argv=None) -> None:
         tail_nnz = int(sum(l.nnz for l in solver.blocked.tail.levels))
         holds_global_fine = False
     else:
-        from ..models.poisson import poisson3d
-        A = poisson3d(args.n)
+        if args.problem == "elasticity3d":
+            from ..models.elasticity import (elasticity3d,
+                                             elasticity3d_nullspace)
+            A = elasticity3d(args.n)
+            ns = elasticity3d_nullspace(args.n)
+        else:
+            from ..models.poisson import poisson3d
+            A = poisson3d(args.n)
+            ns = None
         solver = DistAMGSolver(A, mesh=global_mesh(), params=params,
-                               krylov=krylov)
+                               krylov=krylov, nullspace=ns)
         res = solver.solve(b)
         r0, r1 = solver.row_range       # (0, n): global mode
         x_loc = np.asarray(res.x, dtype=np.float64)
@@ -270,6 +317,7 @@ def _worker_main(argv=None) -> None:
         "n_devices": len(jax.devices()),
         "n_local_devices": len(jax.local_devices()),
         "n": n_glob,
+        "problem": args.problem,
         "setup": args.setup,
         "krylov": args.krylov,
         "iterations": res.iterations,

@@ -93,7 +93,7 @@ class DistAMGSolver:
     def from_blocked(cls, make_rows, n: int, mesh: Mesh | None = None,
                      params: AMGParams | None = None,
                      krylov: KrylovParams | None = None,
-                     comm=None) -> "DistAMGSolver":
+                     comm=None, make_nullspace=None) -> "DistAMGSolver":
         """PROCESS-LOCAL construction (VERDICT r3 next #1): every rank
         assembles only its row block, runs the blocked per-host setup
         (setup/blocked.py) with boundary exchanges, freezes its own
@@ -135,13 +135,17 @@ class DistAMGSolver:
         self.perm = None          # RCM reordering is a global permutation;
         self.A_host = None        # the blocked path keeps natural order
         self.hierarchy = None
-        bounds = partition_bounds(n, self.nd, comm.size)
+        align = self.params.row_align
+        bounds = partition_bounds(n, self.nd, comm.size, align=align)
         r0, r1 = int(bounds[comm.rank]), int(bounds[comm.rank + 1])
         A_own = make_rows(r0, r1).tocsr()
         assert A_own.shape == (r1 - r0, n)
+        ns_own = make_nullspace(r0, r1) if make_nullspace else None
         bh = blocked_amg_setup(
             A_own, bounds, comm, self.params,
-            bounds_fn=lambda nc: partition_bounds(nc, self.nd, comm.size))
+            bounds_fn=lambda nc: partition_bounds(nc, self.nd, comm.size,
+                                                  align=align),
+            nullspace_own=ns_own)
         self.blocked = bh
         self.dist = blocked_to_dist(bh, self.nd, comm, self.params,
                                     axis=self.axis)

@@ -94,6 +94,19 @@ class AMGParams:
                                        # level saved removes a full smoother
                                        # + transfer stage from the cycle
     jacobi_omega_smooth_P: float = 2.0 / 3.0  # for smoothed aggregation
+    row_align: int = 0                 # distributed row-partition
+                                       # alignment override: shard row
+                                       # counts (Partition.n_loc) are
+                                       # rounded to this multiple instead
+                                       # of the 128 default.  Systems
+                                       # problems under the BLOCKED setup
+                                       # need node-aligned blocks (no
+                                       # rank may own a fraction of a
+                                       # node's dofs): set to
+                                       # lcm(128, agg_blocksize,
+                                       # nullspace_dim) — e.g. 384 for
+                                       # 3-D elasticity (bs=3, 6 RBMs).
+                                       # 0 = default 128.
     agg_blocksize: int = 1             # dofs per node on the FINEST level
                                        # (2 = 2-D elasticity): aggregation
                                        # amalgamates node blocks so a

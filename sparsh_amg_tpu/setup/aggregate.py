@@ -52,6 +52,116 @@ def _aggregate_python(n, Sp, Si, agg):
     return agg, next_agg
 
 
+def dist2_graph(S: sp.csr_matrix) -> sp.csr_matrix:
+    """Pattern of the distance<=2 graph of a SYMMETRIC strength graph:
+    S2 = pattern(S + S*S) minus the diagonal.  Greedy pass-1 roots are
+    exactly the lexicographic MIS on this graph (see
+    greedy_aggregation_rounds)."""
+    n = S.shape[0]
+    P1 = sp.csr_matrix(
+        (np.ones(S.nnz, dtype=np.float32), S.indices, S.indptr),
+        shape=S.shape)
+    S2 = (P1 + P1 @ P1).tocsr()
+    S2.setdiag(0)
+    S2.eliminate_zeros()
+    S2.sort_indices()
+    return S2
+
+
+def greedy_aggregation_rounds(S: sp.csr_matrix) -> tuple[np.ndarray, int]:
+    """Round-based twin of ``greedy_aggregation``, BIT-IDENTICAL to it on
+    any symmetric strength graph — the serial oracle for the blocked
+    (process-local) aggregation in setup/blocked.py.
+
+    The sequential greedy is an order-dependent scan, but its outcome is
+    reproducible from independent rounds because each decision depends
+    only on SMALLER-id decisions:
+
+    * pass-1 roots: node i roots iff no earlier root within graph
+      distance <= 2 — i.e. the LEXICOGRAPHIC MIS on ``dist2_graph(S)``
+      (computable as PMIS rounds with weight = -global id, which is how
+      the blocked twin evaluates it from row blocks);
+    * pass-1 members: the unique root among each node's neighbors (two
+      roots are >= distance 3 apart, so at most one exists);
+    * pass 2: attach to the aggregate of the smallest-id pass-<=1
+      assigned neighbor, read from the POST-pass-1 snapshot (the serial
+      code's agg2 copy);
+    * pass-3 roots: the lexicographic MIS on the leftover-restricted
+      distance-1 graph, numbered after the pass-1 roots; members attach
+      to their smallest-id adjacent pass-3 root.
+    """
+    n = S.shape[0]
+    deg = np.diff(S.indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = S.indices.astype(np.int64)
+
+    S2 = dist2_graph(S)
+    root1 = _lex_mis(S2)
+    agg = np.full(n, -1, dtype=np.int32)
+    r1 = np.flatnonzero(root1)
+    agg[r1] = np.arange(len(r1), dtype=np.int32)
+    m1 = root1[cols] & ~root1[rows]        # unique root per non-root row
+    agg[rows[m1]] = agg[cols[m1]]
+    # pass 2 (snapshot semantics)
+    assigned = agg != -1
+    m2 = ~assigned[rows] & assigned[cols]
+    k2 = np.flatnonzero(m2)
+    r_u, first = np.unique(rows[k2], return_index=True)
+    agg[r_u] = agg[cols[k2[first]]]        # sorted cols => smallest id
+    # pass 3 on the leftover subgraph
+    left = agg == -1
+    if left.any():
+        mL = left[rows] & left[cols]
+        SL = sp.csr_matrix(
+            (np.ones(int(mL.sum()), dtype=np.float32), cols[mL],
+             np.concatenate([[0], np.cumsum(
+                 np.bincount(rows[mL], minlength=n))]).astype(np.int64)),
+            shape=S.shape)
+        root3 = _lex_mis(SL) & left
+        r3 = np.flatnonzero(root3)
+        agg[r3] = len(r1) + np.arange(len(r3), dtype=np.int32)
+        # members: smallest-id adjacent pass-3 root
+        m3 = left[rows] & ~root3[rows] & root3[cols]
+        k3 = np.flatnonzero(m3)
+        r_u3, first3 = np.unique(rows[k3], return_index=True)
+        agg[r_u3] = agg[cols[k3[first3]]]
+        n_agg = len(r1) + len(r3)
+    else:
+        n_agg = len(r1)
+    assert (agg != -1).all(), "rounds aggregation left unassigned nodes"
+    return agg, int(n_agg)
+
+
+def _lex_mis(G: sp.csr_matrix) -> np.ndarray:
+    """Lexicographic (smallest-id-first greedy) maximal independent set
+    of a symmetric graph, by rounds: i joins when every smaller-id
+    neighbor is decided and none is in the set."""
+    n = G.shape[0]
+    state = np.zeros(n, dtype=np.int8)          # 0 undec, 1 in, -1 out
+    Sp, Si = G.indptr, G.indices
+    deg = np.diff(Sp)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = Si.astype(np.int64)
+    smaller = cols < rows
+    while True:
+        und = state == 0
+        if not und.any():
+            break
+        # blocked[i]: some smaller-id neighbor is undecided or in-set
+        bad = np.zeros(n, dtype=bool)
+        m = und[rows] & smaller & (state[cols] >= 0)
+        np.logical_or.at(bad, rows[m], und[cols[m]] | (state[cols[m]] == 1))
+        new_in = und & ~bad
+        if not new_in.any():
+            break
+        state[new_in] = 1
+        # exclude neighbors of new set members
+        excl = np.zeros(n, dtype=bool)
+        np.logical_or.at(excl, rows, new_in[cols])
+        state[excl & (state == 0)] = -1
+    return state == 1
+
+
 def amalgamate(A: sp.csr_matrix, blocksize: int) -> sp.csr_matrix:
     """Node-amalgamated matrix for systems with `blocksize` dofs per node
     (pyamg's blocksize / ML's PDE-equations convention): entry (p, q) is
@@ -166,7 +276,14 @@ def smooth_prolongator(A: sp.csr_matrix, P_tent: sp.csr_matrix,
     d = A.diagonal()
     with np.errstate(divide="ignore"):
         dinv = np.where(d != 0, 1.0 / d, 0.0)
-    Dinv_A = sp.diags(dinv) @ A
+    # direct row scaling, NOT sp.diags(dinv) @ A: the scipy matmul emits
+    # rows in insertion order (unsorted), which perturbs the accumulation
+    # order of the P product at ulp level — the blocked twin
+    # (setup/blocked_sa.py smooth_p_rows) mirrors this exact form so
+    # smoothed rows are bit-identical across the two paths
+    Dinv_A = sp.csr_matrix(
+        (A.data * np.repeat(dinv, np.diff(A.indptr)), A.indices,
+         A.indptr), shape=A.shape)
     if spectral:
         rng = np.random.default_rng(7)
         v = rng.standard_normal(A.shape[0])

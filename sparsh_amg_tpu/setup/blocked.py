@@ -78,13 +78,15 @@ def block_bounds(n: int, n_blocks: int) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(sizes)])
 
 
-def partition_bounds(n: int, nd: int, n_procs: int) -> np.ndarray:
+def partition_bounds(n: int, nd: int, n_procs: int,
+                     align: int = 0) -> np.ndarray:
     """Device-ALIGNED bounds: rank b owns the rows of its nd/n_procs
     device shards under ``parallel.partition.Partition.make(n, nd)`` —
     the blocked hierarchy then freezes into per-shard device arrays with
-    no re-partitioning exchange."""
+    no re-partitioning exchange.  ``align`` overrides the shard pad
+    multiple (params.row_align: node alignment for systems problems)."""
     from ..parallel.partition import Partition
-    part = Partition.make(n, nd)
+    part = Partition.make(n, nd, pad_multiple=align or 128)
     dpp = nd // n_procs
     cuts = np.minimum(np.arange(n_procs + 1, dtype=_I64) * dpp * part.n_loc,
                       n)
@@ -284,78 +286,96 @@ def _local_nodes(r0: int, r1: int, ghosts: np.ndarray):
 
 def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
                       bounds: np.ndarray, comm: BlockComm,
-                      seed: int = 0) -> np.ndarray:
+                      seed: int = 0, weight: str = "degree_hash",
+                      symmetric: bool = False,
+                      iso_cpt: bool = False) -> np.ndarray:
     """Distributed PMIS on owned strength rows (global columns),
     replicating the native `pmis_cf` semantics exactly: w = |ST_i| +
     hash01(i, seed); per round an unassigned i becomes C when no
     unassigned j != i in S(i) ∪ ST(i) has w_j >= w_i, then unassigned
     points strongly depending on a C become F.  Returns cf for the owned
-    rows."""
+    rows.
+
+    ``weight="lexid"`` runs the same rounds with w = -(global id): the
+    fixpoint is then the LEXICOGRAPHIC maximal independent set — exactly
+    the root set of the sequential greedy Vanek pass (blocked SA,
+    setup/blocked_sa.py).  ``symmetric=True`` skips the degree/transpose
+    exchanges (ST == S for a symmetric graph).  ``iso_cpt`` makes
+    isolated points C instead of F (a greedy pass-1 root with an empty
+    neighborhood is a singleton aggregate)."""
     nloc = r1 - r0
     size = comm.size
     S_cols = np.asarray(S_own.indices, dtype=_I64)
     S_rows_g = r0 + np.repeat(np.arange(nloc, dtype=_I64),
                               np.diff(S_own.indptr))
 
-    # exchange 1: ST degrees (additive reduction routed to owners)
-    uniq, cnt = (np.unique(S_cols, return_counts=True) if S_cols.size
-                 else (np.empty(0, _I64), np.empty(0, _I64)))
-    parts = _split_by_owner(uniq, bounds, size)
-    send = []
-    o = 0
-    for d in range(size):
-        k = parts[d].size
-        send.append((parts[d], cnt[o:o + k]))
-        o += k
-    got = comm.alltoall(send)
-    deg = np.zeros(nloc, dtype=_I64)
-    for gidx, gcnt in got:
-        np.add.at(deg, np.asarray(gidx, dtype=_I64) - r0, gcnt)
-
-    # exchange 2: incoming strength edges (ST rows for owned points)
-    tgt_owner = owner_of(S_cols, bounds)
-    order = _stable_order(tgt_owner, size)
-    so_cols, so_src = S_cols[order], S_rows_g[order]
-    cuts = np.searchsorted(tgt_owner[order], np.arange(size + 1))
-    send = [(so_cols[cuts[d]:cuts[d + 1]], so_src[cuts[d]:cuts[d + 1]])
-            for d in range(size)]
-    got = comm.alltoall(send)
-    in_t = (np.concatenate([g[0] for g in got]) if got
-            else np.empty(0, _I64))
-    in_s = (np.concatenate([g[1] for g in got]) if got
-            else np.empty(0, _I64))
-    n_cols = S_own.shape[1]
-    lib0 = get_lib()
-    if lib0 is not None and in_t.size >= (1 << 14) and nloc:
-        # native COO->CSR with sorted rows (scipy's coo_tocsr +
-        # sort_indices was ~0.7 s/rank at 5.3M entries)
-        rows_l = np.asarray(in_t, dtype=_I64) - r0
-        st_ip = np.zeros(nloc + 1, dtype=_I64)
-        st_cols = np.empty(rows_l.size, dtype=np.int32)
-        lib0.coo_to_csr_pattern(nloc, rows_l.size, rows_l,
-                                np.ascontiguousarray(in_s, dtype=_I64),
-                                st_ip, st_cols)
-        ST_own = sp.csr_matrix(
-            (np.ones(rows_l.size, dtype=np.int8), st_cols, st_ip),
-            shape=(nloc, n_cols))
-        ST_own.has_sorted_indices = True
-        ST_own.has_canonical_format = True
+    if symmetric:
+        ST_own = S_own
+        deg = np.diff(S_own.indptr).astype(_I64)
     else:
-        ST_own = sp.csr_matrix(
-            (np.ones(in_t.size, dtype=np.int8),
-             (np.asarray(in_t, dtype=_I64) - r0, in_s)),
-            shape=(max(nloc, 1), n_cols))[:nloc]
-        ST_own.sort_indices()
+        # exchange 1: ST degrees (additive reduction routed to owners)
+        uniq, cnt = (np.unique(S_cols, return_counts=True) if S_cols.size
+                     else (np.empty(0, _I64), np.empty(0, _I64)))
+        parts = _split_by_owner(uniq, bounds, size)
+        send = []
+        o = 0
+        for d in range(size):
+            k = parts[d].size
+            send.append((parts[d], cnt[o:o + k]))
+            o += k
+        got = comm.alltoall(send)
+        deg = np.zeros(nloc, dtype=_I64)
+        for gidx, gcnt in got:
+            np.add.at(deg, np.asarray(gidx, dtype=_I64) - r0, gcnt)
+
+        # exchange 2: incoming strength edges (ST rows for owned points)
+        tgt_owner = owner_of(S_cols, bounds)
+        order = _stable_order(tgt_owner, size)
+        so_cols, so_src = S_cols[order], S_rows_g[order]
+        cuts = np.searchsorted(tgt_owner[order], np.arange(size + 1))
+        send = [(so_cols[cuts[d]:cuts[d + 1]], so_src[cuts[d]:cuts[d + 1]])
+                for d in range(size)]
+        got = comm.alltoall(send)
+        in_t = (np.concatenate([g[0] for g in got]) if got
+                else np.empty(0, _I64))
+        in_s = (np.concatenate([g[1] for g in got]) if got
+                else np.empty(0, _I64))
+        n_cols = S_own.shape[1]
+        lib0 = get_lib()
+        if lib0 is not None and in_t.size >= (1 << 14) and nloc:
+            # native COO->CSR with sorted rows (scipy's coo_tocsr +
+            # sort_indices was ~0.7 s/rank at 5.3M entries)
+            rows_l = np.asarray(in_t, dtype=_I64) - r0
+            st_ip = np.zeros(nloc + 1, dtype=_I64)
+            st_cols = np.empty(rows_l.size, dtype=np.int32)
+            lib0.coo_to_csr_pattern(nloc, rows_l.size, rows_l,
+                                    np.ascontiguousarray(in_s, dtype=_I64),
+                                    st_ip, st_cols)
+            ST_own = sp.csr_matrix(
+                (np.ones(rows_l.size, dtype=np.int8), st_cols, st_ip),
+                shape=(nloc, n_cols))
+            ST_own.has_sorted_indices = True
+            ST_own.has_canonical_format = True
+        else:
+            ST_own = sp.csr_matrix(
+                (np.ones(in_t.size, dtype=np.int8),
+                 (np.asarray(in_t, dtype=_I64) - r0, in_s)),
+                shape=(max(nloc, 1), n_cols))[:nloc]
+            ST_own.sort_indices()
 
     # ghost value space
     ST_cols = np.asarray(ST_own.indices, dtype=_I64)
     ghosts = _ghosts_of(np.concatenate([S_cols, ST_cols]), r0, r1)
     fetcher = GhostFetcher(comm, bounds, r0, ghosts)
-    deg_g = fetcher.fetch({"deg": deg})["deg"]
-    w_own = deg.astype(np.float64) + _hash01(
-        np.arange(r0, r1, dtype=np.uint64), seed)
-    w_g = deg_g.astype(np.float64) + _hash01(
-        ghosts.astype(np.uint64), seed)
+    if weight == "lexid":
+        w_own = -np.arange(r0, r1, dtype=np.float64)
+        w_g = -ghosts.astype(np.float64)
+    else:
+        deg_g = fetcher.fetch({"deg": deg})["deg"]
+        w_own = deg.astype(np.float64) + _hash01(
+            np.arange(r0, r1, dtype=np.uint64), seed)
+        w_g = deg_g.astype(np.float64) + _hash01(
+            ghosts.astype(np.uint64), seed)
     w_ext = np.concatenate([w_own, w_g])
 
     # extended-index maps for the nnz of S_own and ST_own
@@ -377,7 +397,7 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     cf_ext = np.full(ne, UNASSIGNED, dtype=np.int8)
     cf_own = cf_ext[:nloc]                 # view: round kernels write here
     iso = (np.diff(S_own.indptr) == 0) & (np.diff(ST_own.indptr) == 0)
-    cf_own[iso] = FPT
+    cf_own[iso] = CPT if iso_cpt else FPT
 
     def refresh_ghost_cf():
         cf_ext[nloc:] = fetcher.fetch({"cf": cf_own})["cf"]
@@ -1112,7 +1132,9 @@ def blocked_coarsen_step(A_own: sp.csr_matrix, r0: int, r1: int,
 def blocked_amg_setup(A_own: sp.csr_matrix, bounds: np.ndarray,
                       comm: BlockComm, params: AMGParams,
                       blocked_threshold: int | None = None,
-                      bounds_fn=None) -> BlockedHierarchy:
+                      bounds_fn=None,
+                      nullspace_own: np.ndarray | None = None
+                      ) -> BlockedHierarchy:
     """Full per-rank AMG setup: blocked levels down to
     ``blocked_threshold`` (default: params.replicate_size — every level
     the distributed solver keeps row-sharded), then the small coarse
@@ -1122,9 +1144,16 @@ def blocked_amg_setup(A_own: sp.csr_matrix, bounds: np.ndarray,
 
     ``bounds_fn(n) -> bounds`` chooses each coarse level's ownership
     (default: balanced blocks; the device path passes partition_bounds
-    so blocks align with device shards)."""
-    assert params.coarsening == "pmis", \
-        "blocked setup: PMIS coarsening (the flagship distributed scheme)"
+    so blocks align with device shards).
+
+    ``coarsening="aggregation"`` runs the process-local smoothed-
+    aggregation path (setup/blocked_sa.py; bit-identical aggregates to
+    the serial greedy) with ``nullspace_own`` = this rank's rows of the
+    near-nullspace basis (RBM-SA elasticity); row blocks must be
+    node-aligned (params.row_align)."""
+    is_sa = params.coarsening == "aggregation"
+    assert params.coarsening == "pmis" or is_sa, \
+        "blocked setup: PMIS (flagship) or aggregation (SA) coarsening"
     if blocked_threshold is None:
         blocked_threshold = max(params.replicate_size, params.coarse_size)
     if bounds_fn is None:
@@ -1135,18 +1164,35 @@ def blocked_amg_setup(A_own: sp.csr_matrix, bounds: np.ndarray,
     if A_own.dtype != np.float64:
         A_own = A_own.astype(np.float64)
     A_own.sum_duplicates()
+    B_own = None
+    if nullspace_own is not None:
+        B_own = np.ascontiguousarray(nullspace_own, dtype=np.float64)
+        if B_own.ndim == 1:
+            B_own = B_own[:, None]
     lvl = 0
     while int(bounds[-1]) > blocked_threshold \
             and len(levels) < params.max_levels - 1:
         n = int(bounds[-1])
-        aggressive = (lvl < params.agg_levels
-                      and params.coarsening in ("rs", "pmis", "hmis")
-                      and params.aggressive == "pmis2")
-        out = blocked_coarsen_step(A_own, r0, r1, bounds, comm, params,
-                                   aggressive)
-        if out is None:
-            break
-        P_own, cf_own, n_c, gmap_own = out
+        if is_sa:
+            from .blocked_sa import blocked_sa_step, route_coarse_nullspace
+            bs = params.agg_blocksize if lvl == 0 else (
+                B_own.shape[1] if B_own is not None else 1)
+            out = blocked_sa_step(A_own, r0, r1, bounds, comm, params,
+                                  B_own, bs)
+            if out is None:
+                break
+            P_own, n_c, bparts = out
+            cf_own = None
+        else:
+            aggressive = (lvl < params.agg_levels
+                          and params.coarsening in ("rs", "pmis", "hmis")
+                          and params.aggressive == "pmis2")
+            out = blocked_coarsen_step(A_own, r0, r1, bounds, comm,
+                                       params, aggressive)
+            if out is None:
+                break
+            P_own, cf_own, n_c, gmap_own = out
+            bparts = None
         if n_c >= 0.95 * n and levels:
             break                                   # stagnation guard
         bounds_c = np.asarray(bounds_fn(n_c), dtype=_I64)
@@ -1156,6 +1202,12 @@ def blocked_amg_setup(A_own: sp.csr_matrix, bounds: np.ndarray,
         levels.append(BlockedLevel(A=A_own, r0=r0, r1=r1, n=n,
                                    bounds=bounds, P=P_own, R=R_own,
                                    cf=cf_own))
+        if bparts is not None:
+            from .blocked_sa import route_coarse_nullspace
+            B_own = route_coarse_nullspace(bparts, bounds_c, comm,
+                                           B_own.shape[1])
+        elif is_sa:
+            B_own = None
         A_own = Ac_own
         bounds = bounds_c
         r0, r1 = int(bounds[comm.rank]), int(bounds[comm.rank + 1])
@@ -1181,7 +1233,17 @@ def blocked_amg_setup(A_own: sp.csr_matrix, bounds: np.ndarray,
          indptr), shape=(n_tail, n_tail))
     tail_params = params.replace(
         agg_levels=max(0, params.agg_levels - len(levels)))
-    tail = amg_setup(A_tail, tail_params)
+    B_tail = None
+    if is_sa and B_own is not None:
+        B_tail = np.concatenate(comm.allgather(B_own), axis=0)
+    if is_sa and levels:
+        # the tail continues the hierarchy at coarse levels, where the
+        # finest-level agg_blocksize no longer applies — coarse levels
+        # are amalgamated by the nullspace dimension (amg_setup's own
+        # bs-chain rule, entered here at level >= 1 semantics)
+        tail_params = tail_params.replace(
+            agg_blocksize=(B_tail.shape[1] if B_tail is not None else 1))
+    tail = amg_setup(A_tail, tail_params, nullspace=B_tail)
     return BlockedHierarchy(levels=levels, tail=tail, params=params)
 
 
@@ -1214,7 +1276,8 @@ def stitch_blocked(parts: list) -> "Hierarchy":
         A = _vstack_blocks([b.A for b in blks])
         P = _vstack_blocks([b.P for b in blks])
         R = _vstack_blocks([b.R for b in blks])
-        cf = np.concatenate([b.cf for b in blks])
+        cf = (np.concatenate([b.cf for b in blks])
+              if blks[0].cf is not None else None)   # SA levels: no C/F
         levels.append(Level(A=A, P=P, R=R, cf=cf))
     tail = parts[0].tail
     for i, lev in enumerate(tail.levels):

@@ -114,3 +114,40 @@ def test_uneven_topology_bicgstab_global_setup():
         assert abs(r["iterations"] - ref.iterations) <= 1
         assert np.allclose(r["x_head"], ref.x[:8], rtol=1e-6, atol=1e-8)
     assert {r["n_local_devices"] for r in results} == {3, 1}
+
+
+def test_elasticity_blocked_sa_processes():
+    """Elasticity through the PROCESS-LOCAL blocked SA setup (VERDICT r4
+    next #3): 2 federated processes each assemble only their elasticity
+    row block + nullspace rows, aggregate/QR/smooth through rank
+    exchanges, and match the single-process RBM-SA solve within +-1
+    iteration — no worker holds the global system."""
+    from sparsh_amg_tpu.models.elasticity import (elasticity3d,
+                                                  elasticity3d_nullspace)
+    from sparsh_amg_tpu.parallel.multihost import _elasticity_sa_params
+    m = 12
+    A = elasticity3d(m)
+    ns = elasticity3d_nullspace(m)
+    params = _elasticity_sa_params(row_align=384)
+    solver = DistAMGSolver(A, mesh=default_mesh(4), params=params,
+                           krylov=KrylovParams(tol=1e-8, maxiter=200),
+                           nullspace=ns)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.shape[0])
+    ref = solver.solve(b)
+    assert ref.converged
+    results = launch_processes(2, n=m, devices_per_process=2,
+                               setup="blocked", problem="elasticity3d",
+                               row_align=384)
+    hi = 0
+    for r in results:
+        assert r["problem"] == "elasticity3d"
+        assert r["converged"] and r["true_relres"] <= 1e-8
+        assert not r["holds_global_fine"]
+        assert abs(r["iterations"] - ref.iterations) <= 1
+        r0, r1 = r["row_range"]
+        assert r0 == hi
+        hi = r1
+        assert np.allclose(r["x_head"], ref.x[r0:r0 + 8],
+                           rtol=1e-6, atol=1e-8)
+    assert hi == A.shape[0]
