@@ -162,6 +162,44 @@ class DistAMGSolver:
         self.setup_time = _time.perf_counter() - t0
         return self
 
+    @classmethod
+    def from_frozen(cls, dist: DistHierarchy, A_df, mesh: Mesh,
+                    params: AMGParams,
+                    krylov: KrylovParams | None = None
+                    ) -> "DistAMGSolver":
+        """Wrap an ALREADY-FROZEN distributed hierarchy (nd-stacked
+        leaves, host numpy or device) into a ready solver — the consumer
+        for shards produced by the process-local pipeline when the
+        caller has assembled them in one process (driver dry runs,
+        hierarchy cache loads).  No setup work happens here: upload +
+        jit only."""
+        import time as _time
+        t0 = _time.perf_counter()
+        self = cls.__new__(cls)
+        self.params = params
+        self.krylov = krylov or KrylovParams()
+        if self.krylov.loop_mode == "auto":
+            from ..utils.timing import resolve_loop_mode
+            self.krylov = dataclasses.replace(
+                self.krylov, loop_mode=resolve_loop_mode("auto"))
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.nd = mesh.devices.size
+        self._local = None
+        self.perm = None
+        self.A_host = None
+        self.hierarchy = None
+        self.dist = dist
+        self.part = dist.parts[0]
+        self.n = self.part.n
+        self.levels = put_sharded(dist.levels, self.mesh, self.axis)
+        self.A_df = put_sharded(A_df, self.mesh, self.axis)
+        self._replicate = replicate_fn(self.mesh) \
+            if jax.process_count() > 1 else None
+        self._build_jitted()
+        self.setup_time = _time.perf_counter() - t0
+        return self
+
     @property
     def row_range(self) -> tuple[int, int]:
         """Global rows this process owns (process-local mode: the rows
@@ -327,6 +365,13 @@ class DistAMGSolver:
             return shmap(body, (Pr,) * 5, Pn)(Adf_st, b_hi, b_lo, x_hi, x_lo)
 
         self._true_resnorm = jax.jit(true_resnorm)
+
+    # slack-adaptive refinement-pass scheduling — shared with the serial
+    # solver (same state fields: krylov, _refine_slack)
+    from ..solve.solver import AMGSolver as _SerialSolver
+    _pass_tol = _SerialSolver._pass_tol
+    _note_pass_slack = _SerialSolver._note_pass_slack
+    del _SerialSolver
 
     # -- helpers ----------------------------------------------------------
     def _unperm(self, x: np.ndarray) -> np.ndarray:
@@ -502,7 +547,7 @@ class DistAMGSolver:
             budget = maxiter - total_iters
             if budget <= 0:
                 break
-            pass_tol = max(kr.inner_tol, tol / max(relres, 1e-30) * 0.1)
+            pass_tol = self._pass_tol(tol, relres)
             if kr.loop_mode == "device":
                 x_hi, x_lo, iters = self._refine_step(
                     self.levels, self.A_df, b_hi, b_lo, x_hi, x_lo,
@@ -518,7 +563,9 @@ class DistAMGSolver:
             total_iters += int(iters)
             rnsq = float(self._true_resnorm(self.A_df, b_hi, b_lo,
                                             x_hi, x_lo))
+            relres_prev = relres
             relres = float(np.sqrt(max(rnsq, 0.0))) / bnorm
+            self._note_pass_slack(relres_prev, relres, pass_tol)
             history.append((int(iters), relres))
             if relres <= tol:
                 converged = True

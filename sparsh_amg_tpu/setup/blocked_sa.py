@@ -300,8 +300,11 @@ def tentative_rows(agg_dof_own: np.ndarray, n_agg: int, r0: int,
     na_own = own_aggs.size
     m_max = int(comm.allreduce_max(
         int(counts.max()) if na_own else 0))
-    slot = np.arange(aggs.size, dtype=_I64) - np.repeat(
-        np.concatenate([[0], np.cumsum(counts[:-1])]), counts)
+    if na_own:
+        slot = np.arange(aggs.size, dtype=_I64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts[:-1])]), counts)
+    else:
+        slot = np.zeros(0, dtype=_I64)   # rank owns no aggregates here
     table = np.zeros((na_own, max(m_max, 1), k))
     table[inv, slot, :] = Brows
     Q, R = np.linalg.qr(table) if na_own else (
