@@ -54,10 +54,21 @@ def configs(scale: int = 1):
            AMGParams(smoother="jacobi", coarsening="pmis",
                      interpolation="extpi", interp_max=4),
            KrylovParams(method="cg", tol=1e-8, maxiter=300))
+    # agg_theta=0.25 (round 5): the default 0.08 marks cross-
+    # characteristic couplings strong and aggregation loses the rotated
+    # direction — iterations grew 80 -> 118 with n.  At 0.25 aggregates
+    # follow the characteristic: 22/22/21/25 iters at 256/512/1024/1448^2
+    # on the CPU mesh (grid-independent), opC 1.54.
     yield (f"aniso2d_{m2}_eps1e-3_rot45_aggW_bicgstab",
            lambda: (anisotropic2d(m2, epsilon=1e-3, angle_deg=45), None),
            AMGParams(coarsening="aggregation", interpolation="smoothed",
-                     cycle="W", smoother="l1jacobi"),
+                     cycle="W", smoother="l1jacobi", agg_theta=0.25),
+           KrylovParams(method="bicgstab", tol=1e-8, maxiter=400))
+    m2b = 2048 // scale
+    yield (f"aniso2d_{m2b}_eps1e-3_rot45_aggW_bicgstab",
+           lambda: (anisotropic2d(m2b, epsilon=1e-3, angle_deg=45), None),
+           AMGParams(coarsening="aggregation", interpolation="smoothed",
+                     cycle="W", smoother="l1jacobi", agg_theta=0.25),
            KrylovParams(method="bicgstab", tol=1e-8, maxiter=400))
     yield (f"aniso2d_{m2}_pmis_extpi_W_gs2_bicgstab",
            lambda: (anisotropic2d(m2, epsilon=1e-3, angle_deg=45), None),

@@ -141,15 +141,24 @@ class GhostFetcher:
         got = comm.alltoall(reqs)
         self._locs = [np.asarray(g, dtype=_I64) - r0 for g in got]
 
-    def fetch(self, arrays: dict) -> dict:
+    def fetch(self, arrays: dict, reduce_scalar=None):
+        """One alltoall of reply payloads.  ``reduce_scalar`` piggybacks
+        an allreduce-sum on the same message (the PMIS round loop's
+        frontier count — one collective per round instead of two)."""
         replies = [{k: np.asarray(a)[loc] for k, a in arrays.items()}
                    for loc in self._locs]
+        if reduce_scalar is not None:
+            for r in replies:
+                r["__red"] = reduce_scalar
         resp = self.comm.alltoall(replies)
-        return {k: (np.concatenate([r[k] for r in resp])
-                    if self.want.size
-                    else np.empty((0,) + np.asarray(arrays[k]).shape[1:],
-                                  np.asarray(arrays[k]).dtype))
-                for k in arrays}
+        out = {k: (np.concatenate([r[k] for r in resp])
+                   if self.want.size
+                   else np.empty((0,) + np.asarray(arrays[k]).shape[1:],
+                                 np.asarray(arrays[k]).dtype))
+               for k in arrays}
+        if reduce_scalar is not None:
+            return out, sum(r["__red"] for r in resp)
+        return out
 
 
 def fetch_values(comm: BlockComm, bounds: np.ndarray, r0: int,
@@ -243,11 +252,17 @@ def _pattern_csr(indptr, indices, shape) -> sp.csr_matrix:
 
 
 def _ghosts_of(cols: np.ndarray, r0: int, r1: int) -> np.ndarray:
-    """Sorted unique global column ids outside the owned range."""
-    if cols.size == 0:
+    """Sorted unique global column ids outside the owned range.
+
+    Filter BEFORE the unique: the remote entries are the halo few
+    percent, and np.unique on the full 12M-entry column array was a
+    full sort per call x ~6 calls per setup level (round-5 profile:
+    2.1 s of the 14.3 s rank wall at 192^3/4)."""
+    if np.size(cols) == 0:
         return np.empty(0, dtype=_I64)
-    g = np.unique(np.asarray(cols, dtype=_I64))
-    return g[(g < r0) | (g >= r1)]
+    cols = np.asarray(cols, dtype=_I64)
+    rem = cols[(cols < r0) | (cols >= r1)]
+    return np.unique(rem)
 
 
 def _local_pos(idx: np.ndarray, r0: int, r1: int,
@@ -313,18 +328,28 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
         ST_own = S_own
         deg = np.diff(S_own.indptr).astype(_I64)
     else:
-        # exchange 1: ST degrees (additive reduction routed to owners)
-        uniq, cnt = (np.unique(S_cols, return_counts=True) if S_cols.size
+        # exchange 1: ST degrees (additive reduction routed to owners).
+        # Owned columns contribute through a bincount; only the REMOTE
+        # few percent go through unique+counts (the full-array
+        # np.unique was a 12M-entry sort per level).  Integer addition
+        # is exact, so deg is bit-identical to the old all-unique path.
+        own_m = (S_cols >= r0) & (S_cols < r1)
+        deg = (np.bincount(S_cols[own_m] - r0, minlength=nloc)
+               .astype(_I64) if nloc else np.zeros(0, _I64))
+        rem = S_cols[~own_m]
+        uniq, cnt = (np.unique(rem, return_counts=True) if rem.size
                      else (np.empty(0, _I64), np.empty(0, _I64)))
         parts = _split_by_owner(uniq, bounds, size)
         send = []
         o = 0
         for d in range(size):
             k = parts[d].size
-            send.append((parts[d], cnt[o:o + k]))
+            if d == comm.rank:
+                send.append((np.empty(0, _I64), np.empty(0, _I64)))
+            else:
+                send.append((parts[d], cnt[o:o + k]))
             o += k
         got = comm.alltoall(send)
-        deg = np.zeros(nloc, dtype=_I64)
         for gidx, gcnt in got:
             np.add.at(deg, np.asarray(gidx, dtype=_I64) - r0, gcnt)
 
@@ -399,8 +424,16 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     iso = (np.diff(S_own.indptr) == 0) & (np.diff(ST_own.indptr) == 0)
     cf_own[iso] = CPT if iso_cpt else FPT
 
-    def refresh_ghost_cf():
-        cf_ext[nloc:] = fetcher.fetch({"cf": cf_own})["cf"]
+    def refresh_ghost_cf(count=None):
+        """Refresh ghost C/F states; optionally piggyback the global
+        frontier count on the same alltoall (one collective per round
+        instead of two)."""
+        if count is None:
+            cf_ext[nloc:] = fetcher.fetch({"cf": cf_own})["cf"]
+            return None
+        got, tot = fetcher.fetch({"cf": cf_own}, reduce_scalar=count)
+        cf_ext[nloc:] = got["cf"]
+        return int(tot)
 
     # frontier-based rounds with native select/F-assign bodies (the
     # numpy maximum.at/logical_or.at full-nnz passes were 30 of 54
@@ -413,8 +446,7 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     s_e32 = np.ascontiguousarray(s_e, dtype=np.int32)
     st_e32 = np.ascontiguousarray(st_e, dtype=np.int32)
     frontier = np.flatnonzero(cf_own == UNASSIGNED).astype(np.int32)
-    refresh_ghost_cf()
-    prev_un = comm.allreduce_sum(int(frontier.size))
+    prev_un = refresh_ghost_cf(count=int(frontier.size))
     while prev_un > 0:
         if lib is not None and frontier.size:
             newc = np.empty(frontier.size, dtype=np.uint8)
@@ -441,9 +473,11 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
                 hit = np.zeros(nloc, dtype=bool)
                 np.logical_or.at(hit, s_rows, cf_ext[s_e] == CPT)
                 cf_own[un_loc & hit] = FPT
-        refresh_ghost_cf()                         # exchange 3b
+        # exchange 3b: ghost refresh + piggybacked frontier count (the
+        # post-F-assign frontier is a pure local filter, so the count is
+        # known before the exchange)
         frontier = frontier[cf_own[frontier] == UNASSIGNED]
-        now_un = comm.allreduce_sum(int(frontier.size))
+        now_un = refresh_ghost_cf(count=int(frontier.size))
         if now_un == prev_un:
             break                                  # stall guard (native)
         prev_un = now_un

@@ -10,6 +10,7 @@ coarsest level — a dense inverse applied on the MXU.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -209,11 +210,27 @@ def to_device(hier: Hierarchy, params: AMGParams | None = None,
                     fine_hi, bands=jax.jit(
                         lambda b: b.astype(bdtype))(fine_hi.bands))
         else:
-            dev_A = csr_to_device(A, dtype=bdtype,
-                                  prefer_dia=params.prefer_dia,
-                                  dia_max_bands=params.dia_max_bands,
-                                  dense_size=params.dense_size,
-                                  pad_multiple=2048, prefer_gell=True)
+            dev_A = None
+            lev_bs = getattr(lev, "bs", 1)
+            if (lev_bs > 1 and n > params.dense_size and n % lev_bs == 0
+                    and not os.environ.get("SPARSH_NO_BLOCK_GELL")):
+                # systems level (dofs-per-node block structure): the
+                # block-GELL layout packs the NODE pattern once and
+                # gathers bs de-interleaved source planes — bs x fewer
+                # gathers, bs^2 x fewer tiles than scalar GELL on the
+                # interleaved dof matrix (VERDICT r4 missing #4)
+                from ..ops.gell import gell_eligible
+                from ..ops.block_gell import csr_to_block_gell
+                if gell_eligible():
+                    dev_A = csr_to_block_gell(
+                        A, lev_bs, dtype=bdtype,
+                        n_pad=_round_up(max(n, 1), 2048))
+            if dev_A is None:
+                dev_A = csr_to_device(A, dtype=bdtype,
+                                      prefer_dia=params.prefer_dia,
+                                      dia_max_bands=params.dia_max_bands,
+                                      dense_size=params.dense_size,
+                                      pad_multiple=2048, prefer_gell=True)
         n_pad = dev_A.n_pad
         # l1_dinv is consumed only by the l1-Jacobi/gs2 smoothers and the
         # no-inverse coarse fallback — for the Chebyshev/Jacobi flagship

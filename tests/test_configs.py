@@ -72,3 +72,22 @@ def test_convection_diffusion_bicgstab():
     r = AMGSolver(A, p, KrylovParams(method="bicgstab", tol=1e-8,
                                      maxiter=400)).solve(b)
     assert r.converged and _relres(A, r.x, b) <= 1e-8
+
+
+def test_anisotropic_grid_independent_theta025():
+    """Rotated anisotropy, agg_theta=0.25 (round 5): aggregates follow
+    the characteristic and iterations stay flat — 21/22 at 96/192 here,
+    22/22/21/25 measured at 256-1448^2 (the shipped 0.08 recipe grew
+    80 -> 118 with n)."""
+    iters = []
+    for m in (96, 192):
+        A = anisotropic2d(m, epsilon=1e-3, angle_deg=45).tocsr()
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        p = AMGParams(coarsening="aggregation", interpolation="smoothed",
+                      cycle="W", smoother="l1jacobi", agg_theta=0.25)
+        r = AMGSolver(A, p, KrylovParams(method="bicgstab", tol=1e-8,
+                                         maxiter=400)).solve(b)
+        assert r.converged and _relres(A, r.x, b) <= 1e-8
+        iters.append(r.iterations)
+    assert max(iters) <= 28, iters
+    assert iters[1] <= iters[0] + 4, iters
