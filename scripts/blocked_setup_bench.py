@@ -28,9 +28,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=192)
     ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--nd", type=int, default=8,
+                    help="device count the freeze targets")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BLOCKED_SETUP_r4.json"))
+        "BLOCKED_SETUP_r5.json"))
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,8 @@ def main():
     from sparsh_amg_tpu.params import AMGParams
     from sparsh_amg_tpu.setup.hierarchy import amg_setup
     from sparsh_amg_tpu.setup.blocked import (blocked_amg_setup,
-                                              block_bounds)
+                                              block_bounds,
+                                              partition_bounds)
     from sparsh_amg_tpu.setup.comm import run_blocked_procs
 
     params = AMGParams(smoother="chebyshev", cycle="V",
@@ -52,7 +55,11 @@ def main():
                        cheby_degree_coarse=1, cheby_coarse_from=1)
     n = args.n ** 3
     nb = args.blocks
-    bounds = block_bounds(n, nb)
+    nd = args.nd
+    # device-aligned bounds (the deployment shape): the same ranks then
+    # FREEZE their shards — setup + freeze is the full per-host pipeline
+    # cost (VERDICT r4 next #2)
+    bounds = partition_bounds(n, nd, nb)
 
     # blocked FIRST, on real forked processes (PipeComm): ThreadComm
     # shares one GIL so every numpy phase serializes across simulated
@@ -69,21 +76,39 @@ def main():
     # lifetimes: 28 s vs 10 s at 192^3).  Warm-vs-warm is the headline
     # (steady-state of a setup-serving process, and how every other
     # RESULTS number is quoted); cold-vs-cold is also printed.
+    bounds_fn = lambda nc: partition_bounds(nc, nd, nb)
+
     def fn(rank, comm):
+        from sparsh_amg_tpu.parallel.blocked_dist import (
+            blocked_to_dist, fine_df64_blocked)
         r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
         A_own = poisson3d_rows(args.n, r0, r1)
         times = []
         for _ in range(2):
             H = None                       # drop the previous hierarchy
             t0 = time.perf_counter()       # BEFORE timing: holding it
-            H = blocked_amg_setup(A_own, bounds, comm, params)
+            H = blocked_amg_setup(A_own, bounds, comm, params,
+                                  bounds_fn=bounds_fn)
             times.append(time.perf_counter() - t0)
             # (rep 2 would otherwise allocate past the held GBs onto
             # fresh pages and measure the fault path again, 1.6-2.3x)
+        dpp = nd // comm.size
+        freeze = []
+        for _ in range(2):
+            D = None
+            t0 = time.perf_counter()
+            D = blocked_to_dist(H, nd, comm, params, as_numpy=True)
+            D = (D, fine_df64_blocked(H.levels[0].A, r0, D.parts[0],
+                                      comm, params, rank * dpp, dpp,
+                                      as_numpy=True))
+            freeze.append(time.perf_counter() - t0)
+        D = None
         l0 = H.levels[0]                   # timed IN-child: shipping the
         return {                           # hierarchy back through the
             "cold_s": times[0],            # result pipe is not setup cost
             "warm_s": times[1],
+            "freeze_cold_s": freeze[0],
+            "freeze_warm_s": freeze[1],
             "cf0": l0.cf,
             "P0": (l0.P.indptr, l0.P.indices, l0.P.data),
             "sizes_blk": [(l.n, l.A.nnz) for l in H.levels],
@@ -95,9 +120,11 @@ def main():
     wall_s = time.perf_counter() - t0
     blocked_cold_s = max(p["cold_s"] for p in parts)
     blocked_s = max(p["warm_s"] for p in parts)
+    freeze_s = max(p["freeze_warm_s"] for p in parts)
+    freeze_cold_s = max(p["freeze_cold_s"] for p in parts)
     print(f"blocked setup ({nb} ranks, forked processes, "
           f"OMP {omp_each}/rank): cold {blocked_cold_s:.1f}s / "
-          f"warm {blocked_s:.1f}s in-child "
+          f"warm {blocked_s:.1f}s + freeze {freeze_s:.1f}s in-child "
           f"(launch+result wall {wall_s:.1f}s)", flush=True)
 
     # global reference (all cores), same cold/warm protocol
@@ -132,7 +159,9 @@ def main():
                + parts[0]["sizes_tail"])
 
     ratio = blocked_s / global_s
-    out = {"n": n, "grid": args.n, "blocks": nb, "omp_per_rank": omp_each,
+    out = {"n": n, "grid": args.n, "blocks": nb, "nd": nd,
+           "omp_per_rank": omp_each,
+           "freeze_warm_s": freeze_s, "freeze_cold_s": freeze_cold_s,
            "gen_s": gen_s,
            "global_setup_cold_s": global_cold_s,
            "global_setup_s": global_s,

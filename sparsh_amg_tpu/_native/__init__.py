@@ -264,6 +264,16 @@ def get_lib():
             _i64, _ptr(np.int64), _ptr(np.int32), _i64, _ptr(np.int64),
             _ptr(np.int64), _ptr(np.int32),
         ]
+        lib.ext_col_map_ecol.restype = None
+        lib.ext_col_map_ecol.argtypes = [
+            _i64, _ptr(np.int64), _i64, _i64, _ptr(np.int64), _i64,
+            _ptr(np.int32),
+        ]
+        lib.ext_col_map_local.restype = None
+        lib.ext_col_map_local.argtypes = [
+            _i64, _ptr(np.int64), _i64, _i64, _ptr(np.int64), _i64,
+            _i64, _ptr(np.int64),
+        ]
         lib.gather_subrows.restype = None
         lib.gather_subrows.argtypes = [
             _i64, _ptr(np.int64), _ptr(np.int64), _ptr(np.int64),

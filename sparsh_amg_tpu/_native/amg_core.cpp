@@ -619,6 +619,46 @@ void coo_to_csr_pattern(int64_t nr, int64_t nnz, const int64_t* rows,
     std::sort(out_cols + indptr[i], out_cols + indptr[i + 1]);
 }
 
+// Extended-local-index maps for the blocked ghost spaces: one parallel
+// pass with a binary search over the sorted ghost list, replacing the
+// numpy boolean-fancy-index passes over 12M-entry column arrays
+// (setup/blocked.py ecol/_local_pos: 2.5 of the 14.7 s rank wall at
+// 192^3/4, round-5 profile).
+// ecol:      own -> col-r0;            ghost -> nloc + lb(ghosts, col)
+// local_pos: col<r0 -> lb(ghosts,col); own -> n_left + col - r0;
+//            col>=r1 -> nloc + lb(ghosts, col)
+void ext_col_map_ecol(int64_t nnz, const int64_t* cols, int64_t r0,
+                      int64_t r1, const int64_t* ghosts, int64_t ng,
+                      int32_t* out) {
+  const int64_t nloc = r1 - r0;
+#pragma omp parallel for schedule(static)
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t c = cols[k];
+    if (c >= r0 && c < r1) {
+      out[k] = (int32_t)(c - r0);
+    } else {
+      const int64_t lb = std::lower_bound(ghosts, ghosts + ng, c) - ghosts;
+      out[k] = (int32_t)(nloc + lb);
+    }
+  }
+}
+
+void ext_col_map_local(int64_t nnz, const int64_t* cols, int64_t r0,
+                       int64_t r1, const int64_t* ghosts, int64_t ng,
+                       int64_t n_left, int64_t* out) {
+  const int64_t nloc = r1 - r0;
+#pragma omp parallel for schedule(static)
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t c = cols[k];
+    if (c >= r0 && c < r1) {
+      out[k] = n_left + (c - r0);
+    } else {
+      const int64_t lb = std::lower_bound(ghosts, ghosts + ng, c) - ghosts;
+      out[k] = (c < r0) ? lb : nloc + lb;
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Greedy aggregation (Vanek, Mandel & Brezina 1996)
 // ---------------------------------------------------------------------------

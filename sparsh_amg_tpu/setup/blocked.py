@@ -272,8 +272,15 @@ def _local_pos(idx: np.ndarray, r0: int, r1: int,
     stay contiguous, and local order preserves global order (the native
     row kernels then scan columns in the same order as the global path,
     keeping interpolation rows bit-identical)."""
-    idx = np.asarray(idx, dtype=_I64)
+    idx = np.ascontiguousarray(idx, dtype=_I64)
     n_left = int(np.searchsorted(ghosts, r0))
+    lib = get_lib()
+    if lib is not None and idx.size >= (1 << 14):
+        out = np.empty(idx.shape, dtype=_I64)
+        g = np.ascontiguousarray(ghosts, dtype=_I64)
+        lib.ext_col_map_local(idx.size, idx.reshape(-1), int(r0), int(r1),
+                              g, g.size, n_left, out.reshape(-1))
+        return out
     out = np.empty(idx.shape, dtype=_I64)
     left = idx < r0
     right = idx >= r1
@@ -404,7 +411,16 @@ def blocked_pmis_comm(S_own: sp.csr_matrix, r0: int, r1: int,
     w_ext = np.concatenate([w_own, w_g])
 
     # extended-index maps for the nnz of S_own and ST_own
+    ghosts_c = np.ascontiguousarray(ghosts, dtype=_I64)
+
     def ecol(cols):
+        lib0 = get_lib()
+        if lib0 is not None and cols.size >= (1 << 14):
+            out = np.empty(cols.shape, dtype=np.int32)
+            lib0.ext_col_map_ecol(cols.size,
+                                  np.ascontiguousarray(cols, _I64),
+                                  r0, r1, ghosts_c, ghosts_c.size, out)
+            return out
         out = np.empty(cols.shape, dtype=_I64)
         own = (cols >= r0) & (cols < r1)
         out[own] = cols[own] - r0
