@@ -160,10 +160,27 @@ class AMGSolver:
                  "amg": stationary}[method]
         _dot = lambda a, b: _blas_dot(a, b, compensated=kr.compensated_dots)
 
+        # The Krylov matvec runs on the fp32 fine operator (the df64 hi
+        # part).  When the CYCLE's fine operator holds the same fp32
+        # values in a faster layout (elasticity: block-GELL vs the df64
+        # path's 81-wide ELL gather), route the matvec through it — the
+        # entries are the identical fp32 rounding of A, only the
+        # summation layout differs.
+        self._mv_from_level0 = False
+        if jnp.dtype(self.params.band_dtype) == jnp.float32:
+            from ..ops.formats import EllMatrix
+            from ..ops.gell import GellMatrix, SplitGell
+            from ..ops.block_gell import BlockGellMatrix
+            l0 = self.device.levels[0].A
+            if isinstance(self.A_df.A_hi, EllMatrix) and isinstance(
+                    l0, (BlockGellMatrix, GellMatrix, SplitGell)):
+                self._mv_from_level0 = True
+
         def _ops(levels, Afine):
-            # Krylov matvec on the fp32 fine operator (the df64 hi part);
-            # the cycle preconditioner may hold reduced-precision bands
-            mv = lambda v: spmv(Afine, v)
+            if self._mv_from_level0:
+                mv = lambda v: spmv(levels[0].A, v)
+            else:
+                mv = lambda v: spmv(Afine, v)
             pc = lambda r: cycle(levels, r)
             return mv, pc
 
