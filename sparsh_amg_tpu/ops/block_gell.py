@@ -49,8 +49,11 @@ class BlockGellMatrix:
     wwords: jax.Array         # (n_tiles, W) int32 — node-space windows
     counts: jax.Array         # (n_tiles,)
     packed: jax.Array         # (n_tiles, TR, LANE) uint16/int32
-    bvals: jax.Array          # (n_tiles, bs*bs, TR, LANE) band dtype,
+    bvals: jax.Array          # (bs*bs, n_tiles, TR, LANE) band dtype,
                               # plane c*bs+d = A[c,d] values
+                              # (component-major: the packer's per-plane
+                              # gather lands contiguous, no 160 MB
+                              # strided transpose on the host)
     n_rows: int               # logical DOF rows
     n_cols: int
     bs: int
@@ -104,8 +107,7 @@ def _block_gather_xla(B: BlockGellMatrix, planes):
     bs = B.bs
     xg = [planes[d].at[idx].get(mode="promise_in_bounds")
           for d in range(bs)]                        # (slots,) each
-    v = B.bvals.astype(jnp.float32)                  # (T, bs*bs, TR, L)
-    v = v.transpose(1, 0, 2, 3).reshape(bs * bs, -1)
+    v = B.bvals.astype(jnp.float32).reshape(bs * bs, -1)
     outs = []
     for c in range(bs):
         acc = v[c * bs] * xg[0]
@@ -134,8 +136,9 @@ def _block_spmv_pallas(B: BlockGellMatrix, planes):
     for c in range(0, n, chunk):
         e = min(c + chunk, n)
         out = block_gell_pallas(
-            B.wwords[c:e], B.counts[c:e], B.packed[c:e], B.bvals[c:e],
-            planes, s=B.s, tr=B.tr, wmode=B.wmode, bs=B.bs)
+            B.wwords[c:e], B.counts[c:e], B.packed[c:e],
+            B.bvals[:, c:e], planes, s=B.s, tr=B.tr, wmode=B.wmode,
+            bs=B.bs)
         outs.append(out.transpose(1, 0, 2, 3).reshape(B.bs, -1))
     return jnp.concatenate(outs, axis=1)
 
@@ -183,9 +186,9 @@ def block_gell_pallas(wwords, counts, packed, bvals, planes, *, s: int,
             mask = sel == si
             outs = []
             for c in range(bs):
-                acc = v_ref[0, c * bs].astype(jnp.float32) * gs[0]
+                acc = v_ref[c * bs, 0].astype(jnp.float32) * gs[0]
                 for d in range(1, bs):
-                    acc = acc + v_ref[0, c * bs + d].astype(
+                    acc = acc + v_ref[c * bs + d, 0].astype(
                         jnp.float32) * gs[d]
                 outs.append(jnp.where(mask, acc, 0.0))
             return outs                          # bs x (TR, LANE)
@@ -217,8 +220,8 @@ def block_gell_pallas(wwords, counts, packed, bvals, planes, *, s: int,
             in_specs.append(spec)
     in_specs += [
         pl.BlockSpec((1, TR, LANE), lambda t, w_ref, c_ref: (t, 0, 0)),
-        pl.BlockSpec((1, bs * bs, TR, LANE),
-                     lambda t, w_ref, c_ref: (t, 0, 0, 0)),
+        pl.BlockSpec((bs * bs, 1, TR, LANE),
+                     lambda t, w_ref, c_ref: (0, t, 0, 0)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -280,21 +283,39 @@ def csr_to_block_gell(A: sp.csr_matrix, bs: int, dtype=jnp.float32,
                     as_numpy=True)
     if G is None:
         return None
-    # dense block values: B[id, c, d]; id 0 = padding slot (zeros).
-    # Block ids via one searchsorted over the row-major (node_row,
-    # node_col) keys — pat is canonical CSR so its key stream is sorted.
-    Bv = np.zeros((nnzb + 1, bs, bs))
+    # Trim the all-padding tail tiles: the scalar packer pads the stream
+    # to 128*LANE rows for TR divisibility, which for SMALL dense-ish
+    # levels is >95% padding — the bs^2-plane value gather below would
+    # materialize GBs of zeros (measured 25 s at elasticity3d A2: 770
+    # node rows padded to 16384, x36 component planes).  Keep whole
+    # row-aligned tile groups covering the real rows.
+    import math
+    tile = G.tr * LANE
+    step = G.k // math.gcd(G.k, tile)
+    need = -(-max(n_node, 1) * G.k // tile)         # tiles with real rows
+    live = min(-(-need // step) * step, G.packed.shape[0])
+    if live < G.packed.shape[0]:
+        G = dataclasses.replace(
+            G, wwords=G.wwords[:live], counts=G.counts[:live],
+            packed=G.packed[:live], vals=G.vals[:live])
+    # dense block values, COMPONENT-major: Bv_t[c*bs+d, id]; id 0 =
+    # padding slot (zeros).  Block ids via one searchsorted over the
+    # row-major (node_row, node_col) keys — pat is canonical CSR so its
+    # key stream is sorted.  The per-plane gather Bv_t[:, ids] then
+    # lands contiguous in the kernel's (bs*bs, n_tiles, TR, LANE)
+    # layout — no strided transpose of the 100+ MB value table.
+    # table in fp32 (the band dtypes are all <= fp32; rounding before
+    # the gather halves the gathered bytes)
+    Bv_t = np.zeros((bs * bs, nnzb + 1), dtype=np.float32)
     pat_keys = (np.repeat(np.arange(n_node, dtype=np.int64),
                           np.diff(pat.indptr)) * m_node
                 + pat.indices.astype(np.int64))
     bids = np.searchsorted(pat_keys, nr * m_node + nc) + 1
-    Bv[bids, coo.row % bs, coo.col % bs] = coo.data
+    Bv_t[(coo.row % bs) * bs + (coo.col % bs), bids] = coo.data
     id_stream = np.asarray(G.vals, dtype=np.float64).astype(np.int64)
-    # (n_tiles, TR, LANE) ids -> (n_tiles, bs*bs, TR, LANE) values
-    bv = Bv[id_stream]                         # (T, TR, LANE, bs, bs)
-    bv = bv.transpose(0, 3, 4, 1, 2).reshape(
-        G.packed.shape[0], bs * bs, G.tr, LANE)
-    if np.dtype(dtype) != np.float64:
+    bv = Bv_t[:, id_stream.reshape(-1)].reshape(
+        bs * bs, G.packed.shape[0], G.tr, LANE)
+    if np.dtype(dtype) != np.float32:
         import ml_dtypes  # noqa: F401
         bv = bv.astype(dtype)
     conv = (lambda a: np.asarray(a)) if as_numpy else jnp.asarray
