@@ -243,6 +243,35 @@ def _take_rows(M: sp.csr_matrix, rows: np.ndarray, with_data: bool):
     return indptr, idx
 
 
+def _scatter_rows(B: sp.csr_matrix, dst_off: np.ndarray,
+                  out_idx: np.ndarray,
+                  out_dat: np.ndarray | None = None) -> None:
+    """Copy each row of B into out arrays at ``dst_off[i]`` — the native
+    row-copy (gather_subrows) replacing the repeat/arange/fancy-scatter
+    numpy triple pass of the local-CSR assemblies."""
+    if B.nnz == 0:
+        return
+    ln = np.ascontiguousarray(np.diff(B.indptr), dtype=_I64)
+    lo = np.ascontiguousarray(B.indptr[:-1], dtype=_I64)
+    dst = np.ascontiguousarray(dst_off, dtype=_I64)
+    lib = get_lib()
+    if lib is not None and B.nnz >= (1 << 14):
+        Mi = np.ascontiguousarray(B.indices, dtype=np.int32)
+        if out_dat is not None:
+            Md = np.ascontiguousarray(B.data, dtype=np.float64)
+            lib.gather_subrows(B.shape[0], lo, dst, ln, Mi, Md,
+                               out_idx, out_dat)
+        else:
+            lib.gather_subrows_pattern(B.shape[0], lo, dst, ln, Mi,
+                                       out_idx)
+        return
+    pos = np.repeat(dst, ln) + (np.arange(B.nnz, dtype=_I64)
+                                - np.repeat(lo, ln))
+    out_idx[pos] = B.indices
+    if out_dat is not None:
+        out_dat[pos] = B.data
+
+
 def _pattern_csr(indptr, indices, shape) -> sp.csr_matrix:
     """Pattern-only CSR with broadcast-ones data (4 bytes, not nnz*4)."""
     out = sp.csr_matrix(shape)
@@ -985,12 +1014,7 @@ def blocked_rap(A_own, P_own, r0, r1, bounds, bounds_c, comm,
                    (P_g1, _local_pos(g1, r0, r1, g1))):
         if B.shape[0] == 0:
             continue
-        ln = np.diff(B.indptr)
-        pos = np.repeat(indptr[dst], ln) + (
-            np.arange(B.nnz, dtype=_I64)
-            - np.repeat(B.indptr[:-1].astype(_I64), ln))
-        pi[pos] = B.indices
-        pv[pos] = B.data
+        _scatter_rows(B, indptr[dst], pi, pv)
     P_ext = sp.csr_matrix((pv, pi, indptr), shape=(ne, n_c))
     P_ext.has_sorted_indices = True
     # A_loc: owned rows, columns remapped to the local node space

@@ -426,16 +426,12 @@ def smooth_p_rows(A_own: sp.csr_matrix, P_own: sp.csr_matrix, r0: int,
     np.cumsum(counts, out=indptr[1:])
     pi = np.empty(int(indptr[-1]), dtype=np.int32)
     pv = np.empty(int(indptr[-1]))
+    from .blocked import _scatter_rows
     for B, dst in ((P_own, np.arange(own0, own0 + nloc, dtype=_I64)),
                    (P_g1, gdst)):
         if B.shape[0] == 0 or B.nnz == 0:
             continue
-        ln = np.diff(B.indptr)
-        pos = np.repeat(indptr[dst], ln) + (
-            np.arange(B.nnz, dtype=_I64)
-            - np.repeat(B.indptr[:-1].astype(_I64), ln))
-        pi[pos] = B.indices
-        pv[pos] = B.data
+        _scatter_rows(B, indptr[dst], pi, pv)
     P_ext = sp.csr_matrix((pv, pi, indptr), shape=(ne, P_own.shape[1]))
     P_ext.has_sorted_indices = True
     DA_loc = sp.csr_matrix(
