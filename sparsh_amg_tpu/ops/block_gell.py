@@ -253,8 +253,9 @@ def block_gell_pallas(wwords, counts, packed, bvals, planes, *, s: int,
 # ---------------------------------------------------------------------------
 
 def csr_to_block_gell(A: sp.csr_matrix, bs: int, dtype=jnp.float32,
-                      n_pad: int | None = None,
-                      as_numpy: bool = False) -> BlockGellMatrix | None:
+                      n_pad: int | None = None, as_numpy: bool = False,
+                      tr_force: int | None = None
+                      ) -> BlockGellMatrix | None:
     """Pack a dof-interleaved CSR with bs dofs per node into the block
     layout.  Returns None when the node pattern does not pack (caller
     falls back to scalar GELL/ELL)."""
@@ -280,7 +281,7 @@ def csr_to_block_gell(A: sp.csr_matrix, bs: int, dtype=jnp.float32,
     if n_pad is None:
         n_pad = _round_up(max(n, 1), 2048)
     G = csr_to_gell(ids, dtype=jnp.float32, n_pad=_round_up(n_node, 128),
-                    as_numpy=True)
+                    as_numpy=True, tr_force=tr_force)
     if G is None:
         return None
     # Trim the all-padding tail tiles: the scalar packer pads the stream
