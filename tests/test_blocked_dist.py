@@ -190,3 +190,43 @@ def test_blocked_freeze_solves():
     # explicit opt-in global assembly
     xg = solver_b.gather_global(res_b)
     np.testing.assert_allclose(xg, res_g.x, rtol=1e-6, atol=1e-8)
+
+
+def test_rehearsal_path_freeze_matches_global():
+    """The DRESS-REHEARSAL pipeline (per-rank generator -> blocked setup
+    -> per-rank freeze) produces shards bitwise equal to the global
+    `to_dist` freeze of the stitched hierarchy — the equivalence the
+    464^3 rehearsal asserts at 160^3 (scripts/rehearsal_dist.py), pinned
+    here at test scale through the same code path."""
+    from sparsh_amg_tpu.models.poisson import poisson3d_rows
+    from sparsh_amg_tpu.setup.blocked import (blocked_amg_setup,
+                                              partition_bounds,
+                                              stitch_blocked)
+    m, nd, nprocs = 32, 8, 4
+    n = m ** 3
+    params = FLAGSHIP
+    bounds = partition_bounds(n, nd, nprocs)
+    dpp = nd // nprocs
+
+    def fn(rank, comm):
+        r0, r1 = int(bounds[rank]), int(bounds[rank + 1])
+        A_own = poisson3d_rows(m, r0, r1)
+        assert A_own.shape[0] < n          # no rank holds the fine matrix
+        bh = blocked_amg_setup(
+            A_own, bounds, comm, params,
+            bounds_fn=lambda nc: partition_bounds(nc, nd, nprocs))
+        dist = blocked_to_dist(bh, nd, comm, params, as_numpy=True)
+        Adf = fine_df64_blocked(bh.levels[0].A, r0, dist.parts[0], comm,
+                                params, rank * dpp, dpp, as_numpy=True)
+        return bh, dist, Adf
+
+    outs = run_blocked(fn, nprocs)
+    hier = stitch_blocked([o[0] for o in outs])
+    dist_g = to_dist(hier, nd, params)
+    Adf_g = fine_df64(hier, dist_g, params)
+    for rank, (_, dist_b, Adf_b) in enumerate(outs):
+        for li in range(dist_g.n_levels):
+            _assert_shard_equal(dist_g.levels[li], dist_b.levels[li],
+                                rank, dpp, f"rehearsal rank{rank} l{li}")
+        _assert_shard_equal(Adf_g, Adf_b, rank, dpp,
+                            f"rehearsal rank{rank} df64")
